@@ -1,0 +1,221 @@
+"""S8 — the idempotent MERGE apply path (SURVEY.md §3 EP-B steps 2–8).
+
+``apply_batch`` takes one offset-window of change events and applies it to a
+``LakeTable`` exactly once:
+
+  1. schema evolution — control events in the batch are applied to the table
+     metadata BEFORE the merge (BASELINE.json north_star: "schema evolution
+     ... applied via schema updates before each MERGE batch");
+  2. commit-ordered LWW dedup (skew-immune arg-max by default) → one winning
+     event per (repo, path);
+  3. vectorized normalize (lang) + sha256 (content) — computed on WINNERS
+     only, never on the raw event stream: at 10^10 events this is the
+     difference between hashing every event and hashing every surviving key;
+  4. bucket-pruned copy-on-write: only buckets containing a touched key are
+     read and rewritten (custom partition pruning, SURVEY.md §4.1) —
+     surviving rows (left_anti on the winner keys) ∪ upserts;
+  5. atomic manifest commit with snapshot-ID fencing + batch-id idempotence,
+     carrying per-bucket lineage, offsets, and rows-applied metrics.
+
+Scale notes:
+  * The anti-join and the union are shuffle-free on the bucket axis when the
+    batch touches few buckets; the bucket layout (xxhash64(repo,path) % B)
+    spreads a hot monorepo across buckets by path, so a monorepo-heavy batch
+    still fans out across the cluster.
+  * AQE skew-join handles residual skew in the anti-join; the dedup itself
+    is skew-immune by construction (map-side partial agg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.functions.hashing import bucket_col
+from glad_tiles_pipeline_spark.functions.text import (
+    normalize_lang,
+    normalize_lang_expr,
+)
+from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def apply_schema_controls(table: LakeTable, controls: list[dict], batch_id: str) -> int:
+    """Apply control-event payloads (JSON schema ops) in offset order."""
+    ops = [json.loads(c["control"]) for c in controls]
+    if not ops:
+        return table.current_snapshot_id()
+    return table.evolve(ops, batch_id=f"{batch_id}:evo")
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: str,
+    *,
+    dedup_strategy: str = "argmax",
+    use_arrow_udfs: bool = True,
+    offsets: dict | None = None,
+) -> dict:
+    """Apply one micro-batch of change events exactly once.  Returns a
+    summary dict (snapshot_id, metrics).  Re-invocation with a committed
+    batch_id is a no-op (idempotent replay)."""
+    already = table.batch_committed(batch_id)
+    if already is not None:
+        return {"snapshot_id": already, "batch_id": batch_id, "skipped": True}
+
+    # -- 1. schema evolution first (control events are rare; collect is tiny)
+    controls = [
+        r.asDict()
+        for r in events.filter(F.col("control").isNotNull())
+        .select("offset", "control")
+        .orderBy("offset")
+        .collect()
+    ]
+    if controls:
+        apply_schema_controls(table, controls, batch_id)
+    data_events = events.filter(F.col("control").isNull())
+
+    expected_parent = table.current_snapshot_id()
+    fields = table.current_fields()
+    n_buckets = table.n_buckets
+    key_names = [f["name"] for f in fields if f["id"] in (1, 2)]  # repo, path ids
+
+    # -- 2. LWW dedup (skew-immune)
+    winners = lww_dedup(data_events, key=["repo", "path"], strategy=dedup_strategy)
+    winners = winners.withColumn("__bucket", bucket_col(n_buckets)).persist()
+
+    # -- 3. normalize + sha on winners only (Arrow-vectorized per the
+    #       input_hint; JVM twin available for the pure-codegen path).
+    #       Deletes become tombstone rows (payload NULL, _deleted=true):
+    #       the table must remember a winning delete's commit order, or a
+    #       still-older event arriving in a later batch would resurrect the
+    #       key (the replay oracle applies in global commit order).
+    lang_norm = (
+        normalize_lang(F.col("lang")) if use_arrow_udfs else normalize_lang_expr("lang")
+    )
+    is_del = F.col("op") == "D"
+    winner_src = (
+        winners.withColumn("lang", F.when(is_del, F.lit(None)).otherwise(lang_norm))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("_deleted", is_del)
+    )
+    # project event payload -> current table schema via stable field sources;
+    # key fields (ids 1, 2) always come from the event key, even on deletes
+    proj = []
+    for f in fields:
+        src = f.get("source")
+        if f["id"] == 1:
+            proj.append(F.col("repo").cast(f["type"]).alias(f["name"]))
+        elif f["id"] == 2:
+            proj.append(F.col("path").cast(f["type"]).alias(f["name"]))
+        elif src is not None and src in winner_src.columns:
+            expr = F.when(is_del, F.lit(None)).otherwise(F.col(src))
+            proj.append(expr.cast(f["type"]).alias(f["name"]))
+        else:
+            proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+    incoming = winner_src.select(
+        *proj,
+        F.col("commit_seq").alias("_commit_seq"),
+        F.col("offset").alias("_offset"),
+        F.col("_deleted"),
+        F.col("__bucket"),
+    )
+
+    # -- 4. bucket-pruned LWW merge: union the affected buckets' raw rows
+    #       (incl. tombstones) with the incoming winners, take the arg-max
+    #       by (_commit_seq, _offset) per key — table rows older than an
+    #       incoming event lose; incoming events older than the table lose.
+    affected = {r["__bucket"] for r in winners.select("__bucket").distinct().collect()}
+    live = table.scan(spark, buckets=affected, include_system=True).withColumn(
+        "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
+    )
+    new_data = lww_dedup(
+        live.unionByName(incoming),
+        key=key_names,
+        strategy=dedup_strategy if dedup_strategy != "semijoin" else "argmax",
+        order=["_commit_seq", "_offset"],
+    )
+
+    data_abs, data_rel = table.new_data_dir()
+    (
+        new_data.repartition(max(len(affected), 1), F.col("__bucket"))
+        .write.partitionBy("__bucket")
+        .parquet(data_abs, mode="append")
+    )
+
+    # -- 5. manifest: new files per bucket, lineage, metrics, fenced commit
+    new_files: list[dict] = []
+    lineage: dict[str, dict] = {}
+    schema_version = table.manifest(None)["schema_version"]
+    for entry in sorted(os.listdir(data_abs)):
+        if not entry.startswith("__bucket="):
+            continue
+        b = int(entry.split("=")[1])
+        bdir = os.path.join(data_abs, entry)
+        bfiles = []
+        rows = 0
+        for fn in sorted(os.listdir(bdir)):
+            if fn.endswith(".parquet"):
+                rel = os.path.join(data_rel, entry, fn)
+                r = _parquet_rows(os.path.join(bdir, fn))
+                new_files.append(
+                    {"path": rel, "bucket": b, "schema_version": schema_version,
+                     "rows": r}
+                )
+                bfiles.append(rel)
+                rows += r
+        lineage[str(b)] = {"files": bfiles, "rows_live": rows}
+
+    stats = winners.groupBy().agg(
+        F.count("*").alias("winners"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+        F.min("offset").alias("off_lo"),
+        F.max("offset").alias("off_hi"),
+    ).collect()[0]
+    events_read = data_events.count()
+    per_bucket = {
+        str(r["__bucket"]): {"rows_applied": r["applied"], "rows_deleted": r["deleted"]}
+        for r in winners.groupBy("__bucket")
+        .agg(
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("applied"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
+        )
+        .collect()
+    }
+    for b, d in per_bucket.items():
+        lineage.setdefault(b, {}).update(d)
+    winners.unpersist()
+
+    if offsets is None:
+        prev_hi = table.manifest(expected_parent)["offsets"]["hi"]
+        offsets = {"lo": prev_hi + 1, "hi": int(stats["off_hi"] or prev_hi)}
+    metrics = {
+        "events_read": events_read,
+        "control_events": len(controls),
+        "winners": int(stats["winners"]),
+        "dupes_dropped": events_read - int(stats["winners"]),
+        "deletes_requested": int(stats["deletes"] or 0),
+        "buckets_rewritten": len(affected),
+    }
+    snapshot_id = table.commit(
+        batch_id=batch_id,
+        expected_parent=expected_parent,
+        replaced_buckets=affected,
+        new_files=new_files,
+        offsets=offsets,
+        lineage=lineage,
+        metrics=metrics,
+    )
+    return {"snapshot_id": snapshot_id, "batch_id": batch_id,
+            "skipped": False, "metrics": metrics}

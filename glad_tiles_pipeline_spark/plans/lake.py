@@ -1,0 +1,374 @@
+"""S7/S8/S10 — the snapshot-versioned lake-table format (SURVEY.md §4.3).
+
+No Iceberg/Delta jar exists in this sandbox (SURVEY.md §0), so the Iceberg
+sink semantics required by BASELINE.json — snapshot isolation, MERGE,
+schema evolution with stable field ids, snapshot-ID fencing — are
+implemented from scratch as a minimal manifest-log table format over
+Parquet.  The ``LakeTable`` interface (scan / commit / evolve /
+batch_committed) is deliberately shaped so a real Iceberg backend
+(``MERGE INTO`` + ``ALTER TABLE`` + snapshot-property fencing) can replace
+it verbatim when a runtime jar is available.
+
+Layout on disk::
+
+    root/
+      manifests/v{N}.json     one immutable manifest per snapshot
+      data/<commit-uuid>/bucket=<b>/part-*.parquet
+
+Concurrency & exactly-once (BASELINE.json north_star "idempotent MERGE with
+snapshot-ID fencing"):
+
+  * A committer writes its data files FIRST (invisible until referenced),
+    then publishes manifest v{parent+1} via ``os.link(tmp, final)`` —
+    ``link(2)`` fails with EEXIST if the target exists, so exactly one of
+    two racing committers with the same parent wins; the loser gets
+    ``CommitConflict`` and must re-plan against the new snapshot.
+  * Orphan data files from a crashed/lost commit are never referenced by
+    any manifest and are ignored by every reader (crash-safety test §5.4).
+  * Every manifest records its ``batch_id``; re-applying an
+    already-committed batch is detected and skipped (idempotent replay).
+    Test-scale lookup walks the manifest list; a production deployment
+    keeps a batch-id index, same contract.
+
+Schema evolution (§1.3): columns carry stable integer field ids.  A rename
+changes only the display name for an id; a widen changes only the type.
+Old data files are NEVER rewritten — the scan projects each file through
+the field-id mapping of the schema version it was written under
+(name-mapping, Iceberg-style), casting widened types on read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FINAL_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+# Widenings allowed by `evolve` (Iceberg's safe promotions).
+ALLOWED_WIDEN: set[tuple[str, str]] = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("decimal(10,2)", "decimal(20,2)"),
+}
+
+KEY_FIELDS = ("repo", "path")
+
+# System columns present in EVERY data file, outside the logical schema.
+# They carry the LWW ordering metadata and delete tombstones: a MERGE must
+# compare incoming events against the commit order already in the table
+# (late events cross batch boundaries), and a winning delete must leave a
+# tombstone so a still-older event in a later batch cannot resurrect the key.
+# Tombstones are retained indefinitely here; production GC would drop them
+# once the changelog's lateness horizon (watermark) has passed.
+SYSTEM_FIELDS = T.StructType(
+    [
+        T.StructField("_commit_seq", T.LongType()),
+        T.StructField("_offset", T.LongType()),
+        T.StructField("_deleted", T.BooleanType()),
+    ]
+)
+
+
+class CommitConflict(Exception):
+    """Another writer published a snapshot with our expected parent."""
+
+
+def _spark_type(type_str: str) -> T.DataType:
+    return T._parse_datatype_string(type_str)
+
+
+class LakeTable:
+    """Snapshot-versioned Parquet table with manifest-log commits."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._manifest_dir = os.path.join(root, "manifests")
+
+    # -- creation / metadata -------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType = FINAL_SCHEMA,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(),
+             "source": f.name}
+            for i, f in enumerate(schema.fields)
+        ]
+        table = cls(root)
+        manifest = {
+            "snapshot_id": 0,
+            "parent_snapshot_id": None,
+            "batch_id": "__create__",
+            "n_buckets": n_buckets,
+            "schema_version": 1,
+            "schemas": {"1": fields},
+            "files": [],
+            "offsets": {"lo": None, "hi": -1},
+            "lineage": {},
+            "metrics": {},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        table._publish(manifest)
+        return table
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{snapshot_id}.json")
+
+    def current_snapshot_id(self) -> int:
+        ids = [
+            int(f[1:-5])
+            for f in os.listdir(self._manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        if not ids:
+            raise FileNotFoundError(f"no manifests under {self._manifest_dir}")
+        return max(ids)
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        with open(self._manifest_path(snapshot_id)) as f:
+            return json.load(f)
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest(0)["n_buckets"]
+
+    def current_fields(self, snapshot_id: int | None = None) -> list[dict]:
+        m = self.manifest(snapshot_id)
+        return m["schemas"][str(m["schema_version"])]
+
+    def current_schema(self, snapshot_id: int | None = None) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f["name"], _spark_type(f["type"]))
+                for f in self.current_fields(snapshot_id)
+            ]
+        )
+
+    def last_committed_offset(self) -> int:
+        return self.manifest()["offsets"]["hi"]
+
+    def batch_committed(self, batch_id: str) -> int | None:
+        """Snapshot id that committed ``batch_id``, or None."""
+        for sid in range(self.current_snapshot_id(), -1, -1):
+            m = self.manifest(sid)
+            if m["batch_id"] == batch_id:
+                return sid
+        return None
+
+    # -- scan (S7) ------------------------------------------------------------
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        buckets: set[int] | None = None,
+        include_system: bool = False,
+    ) -> DataFrame:
+        """Read the table as of ``snapshot_id``, optionally pruned to a
+        bucket subset.  Bucket pruning is the engine's custom partition-
+        pruning rule (SURVEY.md §4.1): a MERGE touching K of B buckets reads
+        and rewrites only those K — Catalyst never sees the untouched data.
+
+        Files written under old schema versions are projected through the
+        field-id mapping: select by the old name, cast to the current type,
+        alias to the current name; fields added since → NULL.
+
+        ``include_system=False`` (readers): tombstones filtered out, system
+        columns dropped.  ``include_system=True`` (the MERGE path): raw rows
+        including tombstones and LWW ordering metadata.
+        """
+        m = self.manifest(snapshot_id)
+        cur_fields = m["schemas"][str(m["schema_version"])]
+        cur_schema = T.StructType(
+            [T.StructField(f["name"], _spark_type(f["type"])) for f in cur_fields]
+            + (list(SYSTEM_FIELDS.fields) if include_system else [])
+        )
+        files = m["files"]
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
+        if not files:
+            return spark.createDataFrame([], cur_schema)
+
+        by_version: dict[str, list[str]] = {}
+        for f in files:
+            by_version.setdefault(str(f["schema_version"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts: list[DataFrame] = []
+        for ver, paths in by_version.items():
+            old_by_id = {f["id"]: f for f in m["schemas"][ver]}
+            df = spark.read.parquet(*paths)
+            proj = []
+            for f in cur_fields:
+                old = old_by_id.get(f["id"])
+                if old is None:
+                    proj.append(
+                        F.lit(None).cast(_spark_type(f["type"])).alias(f["name"])
+                    )
+                else:
+                    proj.append(
+                        F.col(old["name"]).cast(_spark_type(f["type"])).alias(f["name"])
+                    )
+            proj += [F.col(sf.name) for sf in SYSTEM_FIELDS.fields]
+            parts.append(df.select(*proj))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not include_system:
+            out = out.filter(~F.col("_deleted")).drop(
+                *[sf.name for sf in SYSTEM_FIELDS.fields]
+            )
+        return out
+
+    # -- commit (S8/S10) -------------------------------------------------------
+
+    def new_data_dir(self) -> tuple[str, str]:
+        """Unique directory for one commit attempt's data files.
+        Returns (absolute, relative-to-root)."""
+        rel = os.path.join("data", f"commit-{uuid.uuid4().hex[:12]}")
+        absd = os.path.join(self.root, rel)
+        os.makedirs(absd, exist_ok=False)
+        return absd, rel
+
+    def commit(
+        self,
+        *,
+        batch_id: str,
+        expected_parent: int,
+        replaced_buckets: set[int],
+        new_files: list[dict],
+        offsets: dict,
+        lineage: dict,
+        metrics: dict,
+        schema_version: int | None = None,
+        schemas: dict | None = None,
+    ) -> int:
+        """Publish a new snapshot: carry forward parent files for untouched
+        buckets, swap in ``new_files`` for ``replaced_buckets``.
+
+        Fencing: the new manifest is v{expected_parent+1}; if that file
+        already exists the CAS failed → CommitConflict (unless the existing
+        chain already contains our batch_id → idempotent no-op).
+        """
+        already = self.batch_committed(batch_id)
+        if already is not None:
+            return already
+        parent = self.manifest(expected_parent)
+        kept = [f for f in parent["files"] if f["bucket"] not in replaced_buckets]
+        manifest = {
+            "snapshot_id": expected_parent + 1,
+            "parent_snapshot_id": expected_parent,
+            "batch_id": batch_id,
+            "n_buckets": parent["n_buckets"],
+            "schema_version": schema_version or parent["schema_version"],
+            "schemas": schemas or parent["schemas"],
+            "files": kept + new_files,
+            "offsets": offsets,
+            "lineage": lineage,
+            "metrics": metrics,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._publish(manifest)
+        return manifest["snapshot_id"]
+
+    def _publish(self, manifest: dict) -> None:
+        """Atomic create-if-absent via link(2): write tmp, hard-link to the
+        final name (fails with EEXIST if a racer won), unlink tmp."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        final = self._manifest_path(manifest["snapshot_id"])
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"snapshot v{manifest['snapshot_id']} already published "
+                f"(expected parent {manifest['parent_snapshot_id']})"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # -- schema evolution (§1.3) ----------------------------------------------
+
+    def evolve(self, ops: list[dict], batch_id: str) -> int:
+        """Apply schema ops (add_column / rename_column / widen_type) as a
+        metadata-only snapshot.  Field ids are stable; data files untouched.
+
+        Ops (matching the change-stream control payloads, FIXTURES.md §2.1):
+          {"op": "add_column",    "name": str, "type": str}
+          {"op": "rename_column", "from": str, "to": str}
+          {"op": "widen_type",    "name": str, "type": str}
+        """
+        already = self.batch_committed(batch_id)
+        if already is not None:
+            return already
+        parent_id = self.current_snapshot_id()
+        parent = self.manifest(parent_id)
+        fields = [dict(f) for f in parent["schemas"][str(parent["schema_version"])]]
+        by_name = {f["name"]: f for f in fields}
+        max_id = max((f["id"] for f in fields), default=0)
+        for op in ops:
+            kind = op["op"]
+            if kind == "add_column":
+                if op["name"] in by_name:
+                    raise ValueError(f"column exists: {op['name']}")
+                max_id += 1
+                nf = {"id": max_id, "name": op["name"], "type": op["type"],
+                      "source": op.get("source")}
+                fields.append(nf)
+                by_name[nf["name"]] = nf
+            elif kind == "rename_column":
+                f = by_name.pop(op["from"])
+                f["name"] = op["to"]
+                by_name[op["to"]] = f
+            elif kind == "widen_type":
+                f = by_name[op["name"]]
+                if (f["type"], op["type"]) not in ALLOWED_WIDEN:
+                    raise ValueError(
+                        f"illegal widen {f['type']} -> {op['type']} on {op['name']}"
+                    )
+                f["type"] = op["type"]
+            else:
+                raise ValueError(f"unknown schema op: {kind}")
+        new_version = max(int(v) for v in parent["schemas"]) + 1
+        schemas = dict(parent["schemas"])
+        schemas[str(new_version)] = fields
+        return self.commit(
+            batch_id=batch_id,
+            expected_parent=parent_id,
+            replaced_buckets=set(),
+            new_files=[],
+            offsets=parent["offsets"],
+            lineage={},
+            metrics={"schema_ops": len(ops)},
+            schema_version=new_version,
+            schemas=schemas,
+        )

@@ -1,0 +1,66 @@
+"""EP-B step 1 — the offset-window planner (SURVEY.md §3 EP-B).
+
+Driver-side, pure Python: read the last committed offset from the table's
+checkpoint manifest, carve the next offset window, hand it to
+``apply_batch``.  Resume-exactly-where-it-stopped falls out of the manifest:
+after a crash the next window starts at ``last_committed_offset() + 1``
+(BASELINE.json north_star: "replay resumes exactly where it stopped").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.merge import apply_batch
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.sources.changelog import read_changelog_batch
+
+
+def max_offset(spark: SparkSession, changelog_dir: str) -> int:
+    """Highest offset present in the log (Parquet footer-stats-friendly agg)."""
+    row = (
+        spark.read.parquet(changelog_dir)
+        .agg(F.max("offset").alias("m"))
+        .collect()[0]
+    )
+    return -1 if row["m"] is None else int(row["m"])
+
+
+def batch_id_for(lo: int, hi: int) -> str:
+    """Deterministic batch id from the offset window → idempotent replay."""
+    return f"b{lo}-{hi}"
+
+
+def ingest_changelog(
+    spark: SparkSession,
+    table: LakeTable,
+    changelog_dir: str,
+    batch_size: int = 100_000,
+    max_batches: int | None = None,
+    **apply_kwargs,
+) -> list[dict]:
+    """Tail the changelog to the end (or ``max_batches``), one fenced MERGE
+    per offset window.  Safe to re-run after any crash/kill."""
+    results = []
+    hi_available = max_offset(spark, changelog_dir)
+    n = 0
+    while True:
+        lo = table.last_committed_offset() + 1
+        if lo > hi_available:
+            break
+        hi = min(lo + batch_size - 1, hi_available)
+        events = read_changelog_batch(spark, changelog_dir, lo - 1, hi)
+        res = apply_batch(
+            spark,
+            table,
+            events,
+            batch_id_for(lo, hi),
+            offsets={"lo": lo, "hi": hi},
+            **apply_kwargs,
+        )
+        results.append(res)
+        n += 1
+        if max_batches is not None and n >= max_batches:
+            break
+    return results
