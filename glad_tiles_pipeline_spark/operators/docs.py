@@ -1,0 +1,214 @@
+"""Document deduplication family over the ``documents`` table — the
+training-data-pipeline operators (exact, MinHash+LSH, SimHash, n-gram
+Jaccard).  All pure Spark column expressions / DataFrame ops; no UDFs.
+
+Scale notes:
+  * exact dedup — one hash-groupBy; partial agg makes it skew-tolerant.
+  * MinHash+LSH — shingle → K minhashes in ONE pass over the exploded
+    shingles (K aggregates, map-side combined), band → bucket self-join on
+    (band, hash): candidate pairs ∝ true near-dups, never O(N²).
+  * SimHash — 32-bit signature from per-token hash bits, computed with
+    array expressions per row (no explode, no shuffle until the final
+    bucket-group).
+  * n-gram Jaccard — exact verification on a bounded candidate set
+    (blocking key), the verify step LSH candidates feed into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), WS)
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) as array<string>."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), WS, " ")
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content, keeping
+    the smallest id; reports group size.  sha256 fingerprint (not xxhash64)
+    so the DuckDB oracle can reproduce it bit-for-bit."""
+    fp = F.sha2(normalized_text(F.col(text_col)), 256)
+    return (
+        docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """K independent minhashes per doc: explode distinct shingles once,
+    aggregate K mins in one pass (map-side combine → skew-immune)."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows=n_hashes/n_bands),
+    bucket-join docs sharing any band hash.  Returns (id_a, id_b) distinct,
+    id_a < id_b."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col)
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_hash"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate (id_a, id_b) pairs."""
+    sh = docs.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_neardup(docs: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates → exact Jaccard verify."""
+    cands = minhash_lsh_pairs(docs, **kw)
+    return jaccard_pairs(docs, cands, threshold=threshold)
+
+
+def ngram_jaccard_blocked(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with a cheap blocking key (default: same lang
+    + same n_chars) instead of LSH — the SQL-expressible variant the DuckDB
+    oracle can verify exactly."""
+    block_cols = block_cols or ["lang", "n_chars"]
+    a = docs.select(
+        F.col(id_col).alias("id_a"), *block_cols, F.col(text_col).alias("__ta")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), *block_cols, F.col(text_col).alias("__tb")
+    )
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(
+        F.array_intersect(_shingles(F.col("__ta")), _shingles(F.col("__tb")))
+    ).cast("double") / F.size(
+        F.array_union(_shingles(F.col("__ta")), _shingles(F.col("__tb")))
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash of the token list, as one bigint — per-row expression
+    math, zero shuffles: count_i = Σ_tokens (bit_i(xxhash64(tok)) ? +1 : -1);
+    bit i of the signature = count_i > 0.  The 32 bit positions are unrolled
+    with Python ints (shift amounts must be literals), all inside codegen."""
+    toks = _tokens(col)
+
+    def _bit_merge(i: int):
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    sig = F.lit(0).cast("long")
+    for i in range(32):
+        cnt_i = F.aggregate(toks, F.lit(0), _bit_merge(i))
+        sig = sig + F.when(cnt_i > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup: docs whose 32-bit signatures differ in ≤ max_hamming
+    bits.  Blocking on the high 16 bits keeps the self-join linear-ish; the
+    Hamming filter is bit_count(xor)."""
+    sigs = docs.select(
+        F.col(id_col), simhash32(F.col(text_col)).alias("sig")
+    ).withColumn("block", F.shiftright(F.col("sig"), 16))
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "block")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,756 @@
+"""Driver-contract query library (SURVEY.md §2 → __spark_entry__.py).
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; each has
+a matching ANSI-SQL oracle in ``ORACLES`` runnable by DuckDB on the same
+parquet tables.  Conventions for exact cross-engine equality:
+
+  * money/quantity aggregates: cast to DECIMAL(18,2) BEFORE summing (exact,
+    order-independent), round, then cast to double — bitwise-stable on both
+    engines, immune to float summation order;
+  * float expressions (cosine, ratios): computed elementwise in double in
+    the same sequence on both engines, rounded to 6 decimals;
+  * fingerprints that the oracle must reproduce use sha256, not xxhash64;
+  * every computed column is aliased identically in Spark and SQL (the
+    driver hashes columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.functions.text import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    bpe_ish_token_count,
+    lang_id_heuristic,
+    normalize_lang,
+    normalize_lang_sql,
+    token_count,
+)
+from glad_tiles_pipeline_spark.operators.asof import asof_join
+from glad_tiles_pipeline_spark.operators.dedup import (
+    lww_dedup_argmax,
+    lww_dedup_semijoin,
+    lww_dedup_window,
+)
+from glad_tiles_pipeline_spark.operators.docs import (
+    dedup_exact,
+    minhash_neardup,
+    ngram_jaccard_blocked,
+    normalized_text,
+    simhash_neardup,
+)
+from glad_tiles_pipeline_spark.operators.multimodal import (
+    decode_stub_features,
+    to_media_table,
+)
+from glad_tiles_pipeline_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    embedding_neardup,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+D182 = "decimal(18,2)"
+EVENT_KEY = ["user_id", "event_type"]
+EVENT_ORDER = ["ts", "event_id"]
+EVENT_COLS = ["user_id", "event_type", "event_id", "ts", "value"]
+
+LWW_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------- CDC
+def q_lww_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup_window(ev, key=EVENT_KEY, order=EVENT_ORDER).select(*EVENT_COLS)
+
+
+def q_lww_argmax(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup_argmax(ev, key=EVENT_KEY, order=EVENT_ORDER).select(*EVENT_COLS)
+
+
+def q_lww_semijoin(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup_semijoin(ev, key=EVENT_KEY, order=EVENT_ORDER).select(*EVENT_COLS)
+
+
+def q_flagship(spark, sf_dir):
+    """EP-A flagship: LWW dedup → broadcast-join documents → Arrow lang
+    normalize → sha256 → per-lang aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    latest = lww_dedup_argmax(ev, key=EVENT_KEY, order=EVENT_ORDER)
+    joined = latest.join(
+        F.broadcast(docs), latest["user_id"] == docs["doc_id"], "inner"
+    )
+    return (
+        joined.withColumn("lang_n", normalize_lang(F.col("lang")))
+        .withColumn("text_sha", F.sha2(F.col("text"), 256))
+        .groupBy(F.col("lang_n").alias("lang"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("text_sha").alias("n_docs"),
+            F.round(F.sum(F.col("value").cast(D182)), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+FLAGSHIP_SQL = f"""
+WITH latest AS ({LWW_SQL.replace('user_id, event_type, event_id, ts, value', '*')})
+SELECT {normalize_lang_sql('d.lang')} AS lang,
+       count(*) AS n_events,
+       count(DISTINCT l.user_id) AS n_users,
+       count(DISTINCT sha256(d.text)) AS n_docs,
+       CAST(round(sum(CAST(l.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM latest l JOIN documents d ON d.doc_id = l.user_id
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ windows
+def q_window_rank(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+def q_window_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta"),
+    )
+
+
+def q_window_running_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast(D182)).over(w), 2)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------- aggregates
+def q_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(D182)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast(D182) - dec("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    j = cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]).join(
+        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
+    )
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+def q_agg_collect(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+# -------------------------------------------------------------------- joins
+def q_join_dims(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast(D182)), 2)
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+def q_join_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(D182)  # noqa: E731
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast(D182) - dec("l_discount"))),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.min("c_custkey").alias("min_custkey"))
+    )
+
+
+def q_join_outer_histogram(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+def q_join_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    reg = _t(spark, sf_dir, "region")
+    cond = (F.col("value") >= F.col("r_regionkey") * 50) & (
+        F.col("value") < (F.col("r_regionkey") + 1) * 50
+    )
+    return (
+        ev.join(F.broadcast(reg), cond, "inner")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_join_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        ev,
+        orders,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        right_order="o_orderkey",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+def q_join_salted(spark, sf_dir):
+    """Skew-salted large join (J7): same answer as the plain join, with the
+    build side exploded over R salt replicas and the probe side salted."""
+    R = 8
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1))))
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(R)).cast("int")
+    )
+    dec = lambda c: F.col(c).cast(D182)  # noqa: E731
+    return (
+        li.join(orders, (li["l_orderkey"] == orders["o_orderkey"]) & (li["__salt"] == orders["__salt"]))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ set ops
+def q_setop_except(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f.exceptAll(o)
+
+
+def q_setop_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return cust.intersect(supp)
+
+
+def q_union_by_name(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    lo = ev.filter(F.col("value") < 100).select("event_id", "event_type", "value")
+    hi = ev.filter(F.col("value") >= 100).select("value", "event_type", "event_id")
+    return (
+        lo.unionByName(hi)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(D182)), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- functions
+def q_fn_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_mod", F.pmod(k, F.lit(10)))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_fn_dates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_fn_sha(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+def q_fn_lang_norm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_n", normalize_lang(F.col("lang")))
+        .groupBy(F.col("lang_n").alias("lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_stream_tumbling(spark, sf_dir):
+    """Batch-equivalent of the T2 tumbling-window streaming aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+# ----------------------------------------------------------- text analytics
+def q_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_chars = F.length(c).cast("double")
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.size(words).cast("double")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.greatest(n_words, F.lit(1.0)) * 5.0, F.lit(1.0))
+    punct_penalty = F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 10.0, F.lit(1.0))
+    quality = F.round(
+        len_score * 0.4 + stop_score * 0.4 + (F.lit(1.0) - punct_penalty) * 0.2, 6
+    )
+    return docs.select("doc_id", quality.alias("quality"))
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_heuristic("text").alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("fingerprint")
+    )
+
+
+# -------------------------------------------------------------------- dedup
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return ngram_jaccard_blocked(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_neardup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# --------------------------------------------------------------- similarity
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_bruteforce_topk(emb, queries, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------- multimodal
+def q_multimodal_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return decode_stub_features(to_media_table(docs))
+
+
+# ===========================================================================
+# DuckDB oracle SQL — one entry per query above (SURVEY.md §5.1).  Keys with
+# no oracle (xxhash64-based LSH internals) get the driver's rows-only check.
+# ===========================================================================
+
+_QUALITY_SQL = r"""
+SELECT doc_id, round(
+  least(len(text)/500.0, 1.0) * 0.4 +
+  least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> w IN ('the','a','and','of','to','in','is','it','for','on')))::DOUBLE
+        / greatest(len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE, 1.0) * 5.0,
+        1.0) * 0.4 +
+  (1.0 - least(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+               / greatest(len(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.2,
+  6) AS quality
+FROM documents
+"""
+
+_LANGID_SQL = r"""
+SELECT doc_id, CASE
+  WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+  WHEN de >= es AND de > 0 THEN 'de'
+  WHEN es > 0 THEN 'es'
+  ELSE 'unknown' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    len(list_filter(words, x -> x IN ('the','and','of','is','to')))::DOUBLE AS en,
+    len(list_filter(words, x -> x IN ('der','die','und','ist','das')))::DOUBLE AS de,
+    len(list_filter(words, x -> x IN ('el','la','los','es','que')))::DOUBLE AS es
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents)
+)
+"""
+
+_NGRAM_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 1) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, lang, n_chars,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+  FROM s a JOIN s b ON a.lang = b.lang AND a.n_chars = b.n_chars
+                   AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.2
+"""
+
+_COS = ("list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+_EMB_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, round(sim0, 6) AS sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS.format(a='a.v', b='b.v')} AS sim0
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE sim0 >= 0.9
+"""
+
+_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v')} AS sim0
+  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, round(sim0, 6) AS sim, CAST(rnk AS INT) AS "rank"
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+from glad_tiles_pipeline_spark.functions.text import normalize_lang_sql as _nls  # noqa: E402
+
+ORACLES: dict[str, str] = {
+    "lww_dedup_window": LWW_SQL,
+    "lww_dedup_argmax": LWW_SQL,
+    "lww_dedup_semijoin": LWW_SQL,
+    "flagship_cdc_enrich": FLAGSHIP_SQL,
+    "window_rank_top3": """
+        SELECT n_name, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
+          SELECT n.n_name, c.c_custkey, c.c_acctbal,
+                 row_number() OVER (PARTITION BY n.n_name
+                                    ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rnk <= 3""",
+    "window_lag_delta": """
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 6) AS delta
+        FROM events""",
+    "window_running_sum": """
+        SELECT event_id, user_id,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_value
+        FROM events""",
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "agg_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY event_type""",
+    "agg_rollup_region_nation": """
+        SELECT r.r_name, n.n_name, count(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)""",
+    "agg_collect_nations": """
+        SELECT r.r_name,
+               array_to_string(list_sort(list(n.n_name)), '|') AS nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""",
+    "join_broadcast_dims": """
+        SELECT r.r_name, count(*) AS n_customers,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""",
+    "join_sortmerge_revenue": """
+        SELECT o.o_orderstatus,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderstatus""",
+    "join_semi_with_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment""",
+    "join_anti_without_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment""",
+    "join_outer_order_histogram": """
+        SELECT n_orders, count(*) AS n_customers FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+        GROUP BY n_orders""",
+    "join_range_value_buckets": """
+        SELECT r.r_name, count(*) AS n_events
+        FROM events e JOIN region r
+          ON e.value >= r.r_regionkey * 50 AND e.value < (r.r_regionkey + 1) * 50
+        GROUP BY r.r_name""",
+    "join_asof_latest_order": """
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        QUALIFY row_number() OVER (
+          PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""",
+    "join_skew_salted": """
+        SELECT o.o_orderpriority,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority""",
+    "setop_except_custkeys": """
+        SELECT o_custkey FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        EXCEPT
+        SELECT o_custkey FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
+    "setop_intersect_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier""",
+    "union_by_name_counts": """
+        SELECT event_type, count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type""",
+    "fn_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               count(*) AS n
+        FROM events GROUP BY 1""",
+    "fn_date_trunc": """
+        SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2""",
+    "fn_sha256_docs": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+    "fn_lang_normalize": f"""
+        SELECT {_nls('lang')} AS lang, count(*) AS n_docs
+        FROM documents GROUP BY 1""",
+    "stream_tumbling_counts": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2""",
+    "text_token_counts": r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+        FROM documents""",
+    "text_quality_score": _QUALITY_SQL,
+    "text_lang_id": _LANGID_SQL,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents""",
+    "dedup_exact": r"""
+        SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
+    "ann_bruteforce_topk": _ANN_SQL,
+    "multimodal_decode_stub": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+               CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS INTEGER) AS fake_height,
+               octet_length(encode(text)) * 2654435761 % 1000003 AS checksum_mod
+        FROM documents""",
+    # no oracle (xxhash64-seeded internals are Spark-specific → rows-only):
+    #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
+}
+
+QUERIES = {
+    "lww_dedup_window": q_lww_window,
+    "lww_dedup_argmax": q_lww_argmax,
+    "lww_dedup_semijoin": q_lww_semijoin,
+    "flagship_cdc_enrich": q_flagship,
+    "window_rank_top3": q_window_rank,
+    "window_lag_delta": q_window_lag,
+    "window_running_sum": q_window_running_sum,
+    "agg_pricing_summary": q_agg_pricing,
+    "agg_distinct_users": q_agg_distinct,
+    "agg_rollup_region_nation": q_agg_rollup,
+    "agg_collect_nations": q_agg_collect,
+    "join_broadcast_dims": q_join_dims,
+    "join_sortmerge_revenue": q_join_revenue,
+    "join_semi_with_orders": q_join_semi,
+    "join_anti_without_orders": q_join_anti,
+    "join_outer_order_histogram": q_join_outer_histogram,
+    "join_range_value_buckets": q_join_range,
+    "join_asof_latest_order": q_join_asof,
+    "join_skew_salted": q_join_salted,
+    "setop_except_custkeys": q_setop_except,
+    "setop_intersect_nations": q_setop_intersect,
+    "union_by_name_counts": q_union_by_name,
+    "fn_json_extract": q_fn_json,
+    "fn_date_trunc": q_fn_dates,
+    "fn_sha256_docs": q_fn_sha,
+    "fn_lang_normalize": q_fn_lang_norm,
+    "stream_tumbling_counts": q_stream_tumbling,
+    "text_token_counts": q_text_tokens,
+    "text_quality_score": q_text_quality,
+    "text_lang_id": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_lsh_topk": q_ann_lsh,
+    "multimodal_decode_stub": q_multimodal_decode,
+}

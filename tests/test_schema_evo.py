@@ -1,0 +1,109 @@
+"""Schema evolution through the change stream (SURVEY.md §1.3, §5.5):
+add / rename / widen applied before the MERGE batch; old snapshots stay
+readable; old data files are never rewritten (field-id name mapping)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.merge import apply_batch
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.sources.changelog import CHANGE_SCHEMA
+from glad_tiles_pipeline_spark.sources.generator import change_log
+
+
+def _control(spark, offset, payload: dict):
+    row = {
+        "offset": offset, "commit_seq": offset, "commit": f"c{offset:012d}",
+        "op": "C", "repo": None, "path": None, "lang": None, "content": None,
+        "ts": None, "schema_ver": None, "control": json.dumps(payload),
+    }
+    return spark.createDataFrame([row], CHANGE_SCHEMA)
+
+
+def test_add_column_mid_stream(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=16)
+    ev = change_log(spark, 1000)
+    apply_batch(spark, table, ev.filter(F.col("offset") < 990), "b0")
+    files_before = {f["path"] for f in table.manifest()["files"]}
+
+    # tiny second batch → most buckets untouched → their files carried forward
+    batch2 = ev.filter(F.col("offset") >= 990).unionByName(
+        _control(spark, 10_000, {"op": "add_column", "name": "stars", "type": "int"})
+    )
+    apply_batch(spark, table, batch2, "b1")
+
+    cur = table.scan(spark)
+    assert "stars" in cur.columns
+    assert cur.filter(F.col("stars").isNotNull()).count() == 0
+    # old data files survive unrewritten (metadata-only evolution)
+    files_after = {f["path"] for f in table.manifest()["files"]}
+    untouched_buckets = {
+        f["bucket"] for f in table.manifest()["files"] if f["path"] in files_before
+    }
+    assert untouched_buckets, "some old files should be carried forward"
+    # old snapshot (pre-evolution) still readable, without the new column
+    old = table.scan(spark, snapshot_id=1)
+    assert "stars" not in old.columns
+    assert old.count() > 0
+
+
+def test_rename_column_keeps_old_files_readable(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    ev = change_log(spark, 1000)
+    apply_batch(spark, table, ev.filter(F.col("offset") < 500), "b0")
+    langs_before = set(
+        r["lang"] for r in table.scan(spark).select("lang").distinct().collect()
+    )
+
+    batch2 = ev.filter(F.col("offset") >= 500).unionByName(
+        _control(spark, 10_000, {"op": "rename_column", "from": "lang", "to": "language"})
+    )
+    apply_batch(spark, table, batch2, "b1")
+
+    cur = table.scan(spark)
+    assert "language" in cur.columns and "lang" not in cur.columns
+    # rows written BEFORE the rename surface under the new name via field-id
+    # mapping — including keys untouched by batch 2
+    langs_after = set(
+        r["language"] for r in cur.select("language").distinct().collect()
+    )
+    assert langs_before <= langs_after
+    # and rows written AFTER the rename keep populating the same field id
+    assert cur.filter(F.col("language").isNull()).count() == 0
+
+
+def test_widen_type(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    ev = change_log(spark, 600)
+    b1 = ev.filter(F.col("offset") < 300).unionByName(
+        _control(spark, 10_000, {"op": "add_column", "name": "stars", "type": "int"})
+    )
+    apply_batch(spark, table, b1, "b0")
+    assert dict(table.scan(spark).dtypes)["stars"] == "int"
+
+    b2 = ev.filter(F.col("offset") >= 300).unionByName(
+        _control(spark, 10_001, {"op": "widen_type", "name": "stars", "type": "bigint"})
+    )
+    apply_batch(spark, table, b2, "b1")
+    assert dict(table.scan(spark).dtypes)["stars"] == "bigint"
+    # illegal narrowing rejected
+    with pytest.raises(ValueError):
+        table.evolve([{"op": "widen_type", "name": "stars", "type": "int"}], "bad")
+
+
+def test_evolution_is_idempotent_with_batch(spark, tmp_path):
+    """Replaying a batch that contains control events must not re-apply the
+    schema ops (exactly-once covers metadata too)."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    ev = change_log(spark, 300).unionByName(
+        _control(spark, 10_000, {"op": "add_column", "name": "stars", "type": "int"})
+    )
+    apply_batch(spark, table, ev, "b0")
+    v = table.manifest()["schema_version"]
+    apply_batch(spark, table, ev, "b0")  # replay
+    assert table.manifest()["schema_version"] == v
