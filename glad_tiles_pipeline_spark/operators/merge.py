@@ -66,6 +66,7 @@ def apply_batch(
     dedup_strategy: str = "argmax",
     use_arrow_udfs: bool = True,
     offsets: dict | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """Apply one micro-batch of change events exactly once.  Returns a
     summary dict (snapshot_id, metrics).  Re-invocation with a committed
@@ -150,15 +151,29 @@ def apply_batch(
         .collect()
     )
     affected = {r["__bucket"] for r in bucket_stats}
-    live = table.scan(spark, buckets=affected, include_system=True).withColumn(
-        "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
-    )
-    new_data = lww_dedup(
-        live.unionByName(incoming),
-        key=key_names,
-        strategy=dedup_strategy if dedup_strategy != "semijoin" else "argmax",
-        order=["_commit_seq", "_offset"],
-    )
+    if merge_mode == "cow":
+        # Copy-on-write: rewrite every affected bucket with the LWW winner
+        # per key.  Read-optimal (scan needs no resolution), write cost
+        # O(affected table data) per batch.
+        live = table.scan(spark, buckets=affected, include_system=True).withColumn(
+            "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
+        )
+        new_data = lww_dedup(
+            live.unionByName(incoming),
+            key=key_names,
+            strategy=dedup_strategy if dedup_strategy != "semijoin" else "argmax",
+            order=["_commit_seq", "_offset"],
+        )
+    elif merge_mode == "mor":
+        # Merge-on-read: append this batch's winners as per-bucket delta
+        # files — write cost O(batch), never O(table).  Readers (scan) and
+        # the compactor resolve the LWW arg-max across generations; the
+        # answer is identical to CoW because (commit_seq, offset) is a total
+        # order.  This is the 10^10-events/day ingest path; compact()
+        # restores read-optimal layout asynchronously.
+        new_data = incoming
+    else:
+        raise ValueError(f"unknown merge_mode: {merge_mode}")
 
     data_abs, data_rel = table.new_data_dir()
     (
@@ -182,10 +197,13 @@ def apply_batch(
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
                 r = _parquet_rows(os.path.join(bdir, fn))
-                new_files.append(
-                    {"path": rel, "bucket": b, "schema_version": schema_version,
-                     "rows": r}
-                )
+                entry_meta = {
+                    "path": rel, "bucket": b, "schema_version": schema_version,
+                    "rows": r,
+                }
+                if merge_mode == "mor":
+                    entry_meta["delta"] = True
+                new_files.append(entry_meta)
                 bfiles.append(rel)
                 rows += r
         lineage[str(b)] = {"files": bfiles, "rows_live": rows}
@@ -213,12 +231,13 @@ def apply_batch(
         "winners": int(n_winners),
         "dupes_dropped": events_read - int(n_winners),
         "deletes_requested": int(n_deletes),
-        "buckets_rewritten": len(affected),
+        "buckets_rewritten": len(affected) if merge_mode == "cow" else 0,
+        "merge_mode": merge_mode,
     }
     snapshot_id = table.commit(
         batch_id=batch_id,
         expected_parent=expected_parent,
-        replaced_buckets=affected,
+        replaced_buckets=affected if merge_mode == "cow" else set(),
         new_files=new_files,
         offsets=offsets,
         lineage=lineage,
@@ -226,3 +245,78 @@ def apply_batch(
     )
     return {"snapshot_id": snapshot_id, "batch_id": batch_id,
             "skipped": False, "metrics": metrics}
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    buckets: set[int] | None = None,
+    batch_id: str | None = None,
+) -> dict:
+    """Rewrite merge-on-read buckets to one LWW-resolved generation per key.
+
+    Restores read-optimal layout after a run of ``merge_mode='mor'``
+    batches; tombstones are RETAINED (a still-older late event in a future
+    batch must keep losing to a winning delete).  Idempotent via batch_id;
+    fenced like any other commit.  At scale this runs asynchronously,
+    bucket-subset at a time — each bucket's rewrite is independent.
+    """
+    unresolved = table.unresolved_buckets()
+    targets = unresolved if buckets is None else set(buckets) & unresolved
+    if not targets:
+        return {"skipped": True, "compacted_buckets": 0,
+                "snapshot_id": table.current_snapshot_id()}
+    expected_parent = table.current_snapshot_id()
+    if batch_id is None:
+        batch_id = f"compact-p{expected_parent}"
+    already = table.batch_committed(batch_id)
+    if already is not None:
+        return {"skipped": True, "compacted_buckets": 0, "snapshot_id": already}
+
+    fields = table.current_fields()
+    key_names = [f["name"] for f in fields if f["id"] in (1, 2)]
+    n_buckets = table.n_buckets
+    raw = table.scan(spark, buckets=targets, include_system=True)
+    resolved = lww_dedup(
+        raw, key=key_names, strategy="argmax", order=["_commit_seq", "_offset"]
+    ).withColumn("__bucket", bucket_col(n_buckets, key_names[0], key_names[1]))
+
+    data_abs, data_rel = table.new_data_dir()
+    (
+        resolved.repartition(max(len(targets), 1), F.col("__bucket"))
+        .write.partitionBy("__bucket")
+        .parquet(data_abs, mode="append")
+    )
+    schema_version = table.manifest(None)["schema_version"]
+    new_files: list[dict] = []
+    lineage: dict[str, dict] = {}
+    for entry in sorted(os.listdir(data_abs)):
+        if not entry.startswith("__bucket="):
+            continue
+        b = int(entry.split("=")[1])
+        bdir = os.path.join(data_abs, entry)
+        bfiles, rows = [], 0
+        for fn in sorted(os.listdir(bdir)):
+            if fn.endswith(".parquet"):
+                rel = os.path.join(data_rel, entry, fn)
+                r = _parquet_rows(os.path.join(bdir, fn))
+                new_files.append(
+                    {"path": rel, "bucket": b, "schema_version": schema_version,
+                     "rows": r}
+                )
+                bfiles.append(rel)
+                rows += r
+        lineage[str(b)] = {"files": bfiles, "rows_live": rows}
+
+    parent_offsets = table.manifest(expected_parent)["offsets"]
+    snapshot_id = table.commit(
+        batch_id=batch_id,
+        expected_parent=expected_parent,
+        replaced_buckets=targets,
+        new_files=new_files,
+        offsets=parent_offsets,
+        lineage=lineage,
+        metrics={"compacted_buckets": len(targets), "merge_mode": "compact"},
+    )
+    return {"skipped": False, "compacted_buckets": len(targets),
+            "snapshot_id": snapshot_id, "batch_id": batch_id}

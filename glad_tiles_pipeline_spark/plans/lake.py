@@ -182,6 +182,12 @@ class LakeTable:
 
     # -- scan (S7) ------------------------------------------------------------
 
+    def unresolved_buckets(self, snapshot_id: int | None = None) -> set[int]:
+        """Buckets holding merge-on-read delta files not yet compacted."""
+        return {
+            f["bucket"] for f in self.manifest(snapshot_id)["files"] if f.get("delta")
+        }
+
     def scan(
         self,
         spark: SparkSession,
@@ -240,6 +246,19 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if not include_system:
+            # Merge-on-read resolution: buckets with uncompacted delta files
+            # may hold several generations of a key; readers take the LWW
+            # arg-max by (_commit_seq, _offset) first.  Compacted/CoW-only
+            # snapshots skip the extra shuffle entirely (flag in manifest).
+            needs_resolve = any(f.get("delta") for f in files)
+            if needs_resolve:
+                from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
+
+                key_names = [f["name"] for f in cur_fields if f["id"] in (1, 2)]
+                out = lww_dedup(
+                    out, key=key_names, strategy="argmax",
+                    order=["_commit_seq", "_offset"],
+                )
             out = out.filter(~F.col("_deleted")).drop(
                 *[sf.name for sf in SYSTEM_FIELDS.fields]
             )

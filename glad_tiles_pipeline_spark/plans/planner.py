@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from glad_tiles_pipeline_spark.operators.merge import apply_batch
+from glad_tiles_pipeline_spark.operators.merge import apply_batch, compact
 from glad_tiles_pipeline_spark.plans.lake import LakeTable
 from glad_tiles_pipeline_spark.sources.changelog import read_changelog_batch
 
@@ -38,10 +38,17 @@ def ingest_changelog(
     changelog_dir: str,
     batch_size: int = 100_000,
     max_batches: int | None = None,
+    compact_every: int | None = None,
     **apply_kwargs,
 ) -> list[dict]:
     """Tail the changelog to the end (or ``max_batches``), one fenced MERGE
-    per offset window.  Safe to re-run after any crash/kill."""
+    per offset window.  Safe to re-run after any crash/kill.
+
+    ``compact_every=k`` (with ``merge_mode='mor'``) compacts merge-on-read
+    deltas after every k batches — the write-amplification knob: ingest
+    stays O(batch) per commit, readers pay resolution only between
+    compactions.
+    """
     results = []
     hi_available = max_offset(spark, changelog_dir)
     n = 0
@@ -61,6 +68,8 @@ def ingest_changelog(
         )
         results.append(res)
         n += 1
+        if compact_every is not None and n % compact_every == 0:
+            compact(spark, table)
         if max_batches is not None and n >= max_batches:
             break
     return results

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""CLI ingest driver — the spark-submit entry point (BASELINE.json
+north_rule: "run via spark-submit --py-files on a multi-executor cluster").
+
+Batch mode (default) tails the changelog in fenced offset windows; stream
+mode drains it through the Structured Streaming foreachBatch bridge.  Both
+are idempotent: re-running after any crash resumes from the checkpoint
+manifest / stream checkpoint.
+
+Cluster launch (the package zip comes from scripts/make_pyfiles.py):
+
+    spark-submit --master <cluster> \
+        --py-files glad_tiles_pipeline_spark.zip \
+        scripts/ingest.py --changelog s3://…/log --table s3://…/table \
+        --batch-size 10000000
+
+Local smoke:
+
+    python scripts/ingest.py --changelog /tmp/log --table /tmp/table \
+        --create --generate-events 100000 --master "local[8]"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Direct `python scripts/ingest.py` puts scripts/ on sys.path, not the repo
+# root; under spark-submit the package comes from --py-files instead.
+try:
+    import glad_tiles_pipeline_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--changelog", required=True, help="changelog parquet dir")
+    p.add_argument("--table", required=True, help="lake table root dir")
+    p.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    p.add_argument("--batch-size", type=int, default=1_000_000,
+                   help="events per offset window (batch mode)")
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="stream checkpoint dir (stream mode; default <table>/_stream_ckpt)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--create", action="store_true",
+                   help="create the table if missing")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--generate-events", type=int, default=None,
+                   help="testing: synthesize this many change events into "
+                        "--changelog before ingesting")
+    p.add_argument("--dedup-strategy", default="argmax",
+                   choices=["argmax", "window", "semijoin"])
+    p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="compact merge-on-read deltas every K batches")
+    p.add_argument("--master", default=None,
+                   help="override master (tests); production uses spark-submit --master")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+    from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+    from glad_tiles_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cdc-ingest",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.generate_events:
+        from glad_tiles_pipeline_spark.sources.generator import change_log
+
+        change_log(spark, args.generate_events).write.mode("overwrite").parquet(
+            args.changelog
+        )
+
+
+
+    if args.create and not os.path.exists(
+        os.path.join(args.table, "manifests")
+    ):
+        table = LakeTable.create(args.table, n_buckets=args.n_buckets)
+    else:
+        table = LakeTable(args.table)
+
+    if args.mode == "batch":
+        results = ingest_changelog(
+            spark,
+            table,
+            args.changelog,
+            batch_size=args.batch_size,
+            max_batches=args.max_batches,
+            dedup_strategy=args.dedup_strategy,
+            merge_mode=args.merge_mode,
+            compact_every=args.compact_every,
+        )
+    else:
+        from glad_tiles_pipeline_spark.streaming import stream_ingest
+
+        ckpt = args.checkpoint or os.path.join(args.table, "_stream_ckpt")
+        results = stream_ingest(
+            spark,
+            table,
+            args.changelog,
+            ckpt,
+            max_files_per_trigger=args.max_files_per_trigger,
+            dedup_strategy=args.dedup_strategy,
+            merge_mode=args.merge_mode,
+        )
+
+    applied = [r for r in results if not r.get("skipped")]
+    summary = {
+        "mode": args.mode,
+        "batches_applied": len(applied),
+        "batches_skipped": len(results) - len(applied),
+        "events_read": sum(r["metrics"]["events_read"] for r in applied),
+        "winners": sum(r["metrics"]["winners"] for r in applied),
+        "snapshot_id": table.current_snapshot_id(),
+        "last_committed_offset": table.last_committed_offset(),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""North-rule launch mode: the engine runs via spark-submit --py-files with
+the package imported from the zip (BASELINE.json north_rule), and a second
+invocation is an idempotent no-op."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spark_submit = shutil.which("spark-submit") or os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(spark_submit), reason="spark-submit not on this host"
+)
+def test_spark_submit_pyfiles_ingest(tmp_path):
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py"), zip_path],
+        check=True,
+        capture_output=True,
+    )
+
+    def run():
+        # cwd OUTSIDE the repo → the package can only come from --py-files
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        out = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--py-files", zip_path,
+                os.path.join(REPO, "scripts", "ingest.py"),
+                "--changelog", str(tmp_path / "log"),
+                "--table", str(tmp_path / "table"),
+                "--create",
+                "--n-buckets", "4",
+                "--generate-events", "3000",
+                "--batch-size", "1000",
+                "--shuffle-partitions", "8",
+            ],
+            cwd=str(tmp_path),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = run()
+    assert first["batches_applied"] == 3
+    assert first["events_read"] == 3000
+    assert first["last_committed_offset"] == 2999
+
+    second = run()  # same log regenerated deterministically → pure replay
+    assert second["batches_applied"] == 0
+    assert second["snapshot_id"] == first["snapshot_id"]
