@@ -56,9 +56,15 @@ def lww_dedup_argmax(
     events: DataFrame,
     key: list[str] | None = None,
     order: list[str] | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """A4: arg-max by (commit_seq, offset) via max(struct(...)) with map-side
-    partial aggregation — the skew-immune path."""
+    partial aggregation — the skew-immune path.
+
+    ``count_col``: also emit the per-key pre-dedup event count under this
+    name — it rides the same HashAggregate for free, so callers that need
+    batch metrics (events_read) avoid a second pass over the input.
+    """
     key = key or KEY
     order = order or ORDER
     payload = [c for c in events.columns if c not in key]
@@ -67,8 +73,14 @@ def lww_dedup_argmax(
     ordered = F.struct(
         *[F.col(c) for c in order], *[F.col(c) for c in payload if c not in order]
     )
-    agg = events.groupBy(*key).agg(F.max(ordered).alias("__w"))
-    return agg.select(*key, *[F.col(f"__w.{c}").alias(c) for c in payload])
+    aggs = [F.max(ordered).alias("__w")]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    agg = events.groupBy(*key).agg(*aggs)
+    extra = [F.col(count_col)] if count_col is not None else []
+    return agg.select(
+        *key, *[F.col(f"__w.{c}").alias(c) for c in payload], *extra
+    )
 
 
 def lww_dedup_semijoin(

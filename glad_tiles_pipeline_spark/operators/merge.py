@@ -11,19 +11,24 @@
   3. vectorized normalize (lang) + sha256 (content) — computed on WINNERS
      only, never on the raw event stream: at 10^10 events this is the
      difference between hashing every event and hashing every surviving key;
-  4. bucket-pruned copy-on-write: only buckets containing a touched key are
-     read and rewritten (custom partition pruning, SURVEY.md §4.1) —
-     surviving rows (left_anti on the winner keys) ∪ upserts;
+  4. bucket-pruned merge: only buckets containing a touched key participate
+     (custom partition pruning, SURVEY.md §4.1).  Two physical modes:
+     ``cow`` rewrites each affected bucket with (surviving ∪ incoming)
+     LWW-resolved — read-optimal; ``mor`` appends the winners as per-bucket
+     delta files — write cost O(batch), resolution deferred to scan/compact;
   5. atomic manifest commit with snapshot-ID fencing + batch-id idempotence,
      carrying per-bucket lineage, offsets, and rows-applied metrics.
 
 Scale notes:
-  * The anti-join and the union are shuffle-free on the bucket axis when the
-    batch touches few buckets; the bucket layout (xxhash64(repo,path) % B)
-    spreads a hot monorepo across buckets by path, so a monorepo-heavy batch
-    still fans out across the cluster.
-  * AQE skew-join handles residual skew in the anti-join; the dedup itself
-    is skew-immune by construction (map-side partial agg).
+  * Batch statistics/lineage are computed on slim columns only (~40 B/row
+    shuffle); full-width rows cross exactly ONE shuffle per batch — an
+    explicit repartition by __bucket that Catalyst reuses for both the
+    dedup group-by (bucket ⊂ grouping keys ⇒ no second exchange) and the
+    partitionBy write.
+  * The bucket layout (xxhash64(repo,path) % B) spreads a hot monorepo
+    across buckets by path, so a monorepo-heavy batch still fans out across
+    the cluster; the dedup aggregate itself is skew-immune (argmax with
+    map-side partial agg).
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ from glad_tiles_pipeline_spark.functions.text import (
     normalize_lang,
     normalize_lang_expr,
 )
-from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
+from glad_tiles_pipeline_spark.operators.dedup import lww_dedup, lww_dedup_argmax
 from glad_tiles_pipeline_spark.plans.lake import LakeTable
 
 
@@ -92,9 +97,42 @@ def apply_batch(
     n_buckets = table.n_buckets
     key_names = [f["name"] for f in fields if f["id"] in (1, 2)]  # repo, path ids
 
-    # -- 2. LWW dedup (skew-immune)
-    winners = lww_dedup(data_events, key=["repo", "path"], strategy=dedup_strategy)
-    winners = winners.withColumn("__bucket", bucket_col(n_buckets)).persist()
+    # -- 2. Batch statistics on SLIM columns only (SURVEY.md §4.2 layout
+    #       note): the stats/lineage pass never touches ``content``, so its
+    #       shuffle moves ~40 B/row instead of whole source files, and the
+    #       full-width winners never need a persist().  The slim argmax is
+    #       provably the same winner set as any full dedup strategy
+    #       ((commit_seq, offset) is a total order).
+    slim = lww_dedup_argmax(
+        data_events.select("repo", "path", "commit_seq", "offset", "op"),
+        key=["repo", "path"],
+        count_col="__n_events",
+    ).withColumn("__bucket", bucket_col(n_buckets))
+    bucket_stats = (
+        slim.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("winners"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
+            F.min("offset").alias("off_lo"),
+            F.max("offset").alias("off_hi"),
+            F.sum("__n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    affected = {r["__bucket"] for r in bucket_stats}
+    w_parts = max(len(affected), 1)
+
+    # Full-width winners, bucket-aligned: ONE explicit shuffle by __bucket,
+    # which Catalyst recognizes as satisfying the group-by's clustering
+    # (bucket ⊂ (bucket, repo, path)) — the dedup aggregate and the
+    # partitionBy write both reuse it, so ``content`` crosses the wire
+    # exactly once per batch.
+    src_events = data_events.withColumn("__bucket", bucket_col(n_buckets)).repartition(
+        w_parts, F.col("__bucket")
+    )
+    winners = lww_dedup(
+        src_events, key=["__bucket", "repo", "path"], strategy=dedup_strategy
+    )
 
     # -- 3. normalize + sha on winners only (Arrow-vectorized per the
     #       input_hint; JVM twin available for the pure-codegen path).
@@ -137,30 +175,18 @@ def apply_batch(
     #       (incl. tombstones) with the incoming winners, take the arg-max
     #       by (_commit_seq, _offset) per key — table rows older than an
     #       incoming event lose; incoming events older than the table lose.
-    #       ONE stats job materializes the persisted winners AND yields the
-    #       affected-bucket set, per-bucket lineage, and global offsets —
-    #       at 10^10 events every extra collect is a full cluster barrier.
-    bucket_stats = (
-        winners.groupBy("__bucket")
-        .agg(
-            F.count("*").alias("winners"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
-            F.min("offset").alias("off_lo"),
-            F.max("offset").alias("off_hi"),
-        )
-        .collect()
-    )
-    affected = {r["__bucket"] for r in bucket_stats}
     if merge_mode == "cow":
         # Copy-on-write: rewrite every affected bucket with the LWW winner
         # per key.  Read-optimal (scan needs no resolution), write cost
-        # O(affected table data) per batch.
+        # O(affected table data) per batch.  The union is repartitioned by
+        # __bucket so the final dedup and the write share one shuffle.
         live = table.scan(spark, buckets=affected, include_system=True).withColumn(
             "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
         )
+        merged = live.unionByName(incoming).repartition(w_parts, F.col("__bucket"))
         new_data = lww_dedup(
-            live.unionByName(incoming),
-            key=key_names,
+            merged,
+            key=["__bucket"] + key_names,
             strategy=dedup_strategy if dedup_strategy != "semijoin" else "argmax",
             order=["_commit_seq", "_offset"],
         )
@@ -175,12 +201,10 @@ def apply_batch(
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 
+    # new_data is already hash-partitioned by __bucket (the one shuffle),
+    # so partitionBy splits cleanly into one file per bucket per partition.
     data_abs, data_rel = table.new_data_dir()
-    (
-        new_data.repartition(max(len(affected), 1), F.col("__bucket"))
-        .write.partitionBy("__bucket")
-        .parquet(data_abs, mode="append")
-    )
+    new_data.write.partitionBy("__bucket").parquet(data_abs, mode="append")
 
     # -- 5. manifest: new files per bucket, lineage, metrics, fenced commit
     new_files: list[dict] = []
@@ -211,7 +235,7 @@ def apply_batch(
     n_winners = sum(r["winners"] for r in bucket_stats)
     n_deletes = sum(r["deleted"] for r in bucket_stats)
     off_hi_seen = max((r["off_hi"] for r in bucket_stats), default=None)
-    events_read = data_events.count()
+    events_read = sum(r["n_events"] or 0 for r in bucket_stats)
     for r in bucket_stats:
         lineage.setdefault(str(r["__bucket"]), {}).update(
             {
@@ -219,7 +243,6 @@ def apply_batch(
                 "rows_deleted": r["deleted"],
             }
         )
-    winners.unpersist()
 
     if offsets is None:
         prev_hi = table.manifest(expected_parent)["offsets"]["hi"]
@@ -276,17 +299,20 @@ def compact(
     fields = table.current_fields()
     key_names = [f["name"] for f in fields if f["id"] in (1, 2)]
     n_buckets = table.n_buckets
-    raw = table.scan(spark, buckets=targets, include_system=True)
+    raw = table.scan(spark, buckets=targets, include_system=True).withColumn(
+        "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
+    )
+    # one shuffle: bucket-aligned repartition feeds both the LWW resolution
+    # group-by (bucket ⊂ grouping keys) and the partitionBy write
     resolved = lww_dedup(
-        raw, key=key_names, strategy="argmax", order=["_commit_seq", "_offset"]
-    ).withColumn("__bucket", bucket_col(n_buckets, key_names[0], key_names[1]))
+        raw.repartition(max(len(targets), 1), F.col("__bucket")),
+        key=["__bucket"] + key_names,
+        strategy="argmax",
+        order=["_commit_seq", "_offset"],
+    )
 
     data_abs, data_rel = table.new_data_dir()
-    (
-        resolved.repartition(max(len(targets), 1), F.col("__bucket"))
-        .write.partitionBy("__bucket")
-        .parquet(data_abs, mode="append")
-    )
+    resolved.write.partitionBy("__bucket").parquet(data_abs, mode="append")
     schema_version = table.manifest(None)["schema_version"]
     new_files: list[dict] = []
     lineage: dict[str, dict] = {}

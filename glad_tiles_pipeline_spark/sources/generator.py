@@ -73,6 +73,7 @@ def change_log(
     late_denom: int = 10,
     late_max_lag: int = 5000,
     partitions: int | None = None,
+    content_repeat: int = 1,
 ) -> DataFrame:
     """Deterministic change log of ``n_events`` rows, schema FIXTURES.md §2.1.
 
@@ -80,6 +81,9 @@ def change_log(
     u ~ U[0,1), so with s=3, R=100 the hottest repo receives ~21% of all
     events — a realistic hot monorepo.
     ``late_denom``: 1/late_denom of events are late (commit_seq < offset).
+    ``content_repeat``: body lines per file (~64 B each) — 16 gives ~1 KB
+    source files, the realistic weight for ingest benchmarks; 1 keeps unit
+    tests fast.  Deterministic either way (pure column expressions).
     """
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
@@ -119,12 +123,22 @@ def change_log(
             F.when(
                 F.col("op") == "D", F.lit(None).cast("string")
             ).otherwise(
-                F.format_string(
-                    'def handler_%d():\n    return "%s/%s@c%012d"\n',
-                    path_idx,
-                    F.col("repo"),
-                    F.col("path"),
-                    F.col("commit_seq"),
+                F.concat(
+                    F.format_string(
+                        'def handler_%d():\n    return "%s/%s@c%012d"\n',
+                        path_idx,
+                        F.col("repo"),
+                        F.col("path"),
+                        F.col("commit_seq"),
+                    ),
+                    F.repeat(
+                        F.format_string(
+                            "    # body %s/%s line padded to ~64 bytes xx\n",
+                            F.col("repo"),
+                            F.col("path"),
+                        ),
+                        content_repeat - 1,
+                    ),
                 )
             ),
         )
