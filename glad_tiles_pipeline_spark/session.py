@@ -23,8 +23,12 @@ ENGINE_CONF: dict[str, str] = {
     # Arrow batch size: bound Python-worker memory per batch at scale.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
-    # Don't let tiny local test files fan out into thousands of tasks.
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Scan split size: source-code text in snappy parquet compresses ~10×,
+    # so the default 128 MB split is ~1.3 GB decompressed per task — one
+    # straggler task then caps a whole stage.  32 MB keeps per-task memory
+    # bounded and scan stages wide; at 100 TB this is ~3M scan tasks, fine
+    # for a 1000-executor cluster and irrelevant to shuffle stage counts.
+    "spark.sql.files.maxPartitionBytes": "33554432",
     # Keep broadcast threshold at default 10MB; dims here are tiny.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.ui.enabled": "false",
