@@ -150,3 +150,27 @@ def change_log(
         "offset", "commit_seq", "commit", "op", "repo", "path",
         "lang", "content", "ts", "schema_ver", "control",
     )
+
+
+def inject_controls(log: DataFrame, controls: dict[int, str]) -> DataFrame:
+    """Embed schema-evolution control events into a change log at the given
+    offsets (BASELINE.json north_star: "schema evolution ... applied via
+    schema updates before each MERGE batch" — the ops ride the SAME stream
+    as data events).
+
+    ``controls`` maps offset → JSON op payload (lake.evolve ops, e.g.
+    ``{"op": "add_column", "name": "size_bytes", "type": "bigint"}``).
+    The event at that offset becomes a pure control row (its data payload
+    is nulled; the merge path routes on ``control IS NOT NULL``).
+    """
+    pairs: list[F.Column] = []
+    for off, payload in controls.items():
+        pairs += [F.lit(int(off)), F.lit(payload)]
+    cmap = F.create_map(*pairs)
+    is_ctrl = cmap[F.col("offset")].isNotNull()
+    out = log.withColumn("control", cmap[F.col("offset")])
+    for c in ("op", "repo", "path", "lang", "content", "commit"):
+        out = out.withColumn(
+            c, F.when(is_ctrl, F.lit(None).cast("string")).otherwise(F.col(c))
+        )
+    return out

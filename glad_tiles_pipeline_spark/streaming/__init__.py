@@ -5,5 +5,11 @@ from glad_tiles_pipeline_spark.streaming.bridge import (
     stream_metrics,
     with_stream_hygiene,
 )
+from glad_tiles_pipeline_spark.streaming.stateful import repo_activity_state
 
-__all__ = ["stream_ingest", "stream_metrics", "with_stream_hygiene"]
+__all__ = [
+    "repo_activity_state",
+    "stream_ingest",
+    "stream_metrics",
+    "with_stream_hygiene",
+]

@@ -1,0 +1,96 @@
+"""T5 — custom stateful streaming operator (SURVEY.md §2.9).
+
+``repo_activity_state``: per-repo running ingest telemetry maintained as
+managed streaming state with ``applyInPandasWithState`` — the PySpark
+surface for operators whose state must outlive a micro-batch (running
+totals, session carry-over, cross-batch watermarks).  Arrow-batched
+grouped-map: the callback sees whole pandas frames per key, never per-row
+Python dispatch (BASELINE.json input_hint).
+
+Emitted per repo per micro-batch (update mode):
+  total_events   events seen for the repo since stream start (running)
+  batch_events   events in this micro-batch
+  max_commit_seq highest commit order seen (running) — a consumer can
+                 detect out-of-order regressions per repo
+  batches_seen   micro-batches that touched the repo
+
+State is one compact tuple per repo — bounded by repo cardinality, not
+event volume; a production deployment adds a state TTL via
+``GroupStateTimeout.ProcessingTimeTimeout`` for retired repos.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_events", T.LongType()),
+        T.StructField("max_commit_seq", T.LongType()),
+        T.StructField("batches_seen", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("max_commit_seq", T.LongType()),
+        T.StructField("batches_seen", T.LongType()),
+    ]
+)
+
+
+def _update_repo_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (repo,) = key
+    batch_events = 0
+    batch_max_seq = -1
+    for pdf in pdfs:
+        batch_events += len(pdf)
+        if len(pdf):
+            batch_max_seq = max(batch_max_seq, int(pdf["commit_seq"].max()))
+    if state.exists:
+        total, max_seq, batches = state.get
+    else:
+        total, max_seq, batches = 0, -1, 0
+    total += batch_events
+    max_seq = max(max_seq, batch_max_seq)
+    batches += 1
+    state.update((total, max_seq, batches))
+    yield pd.DataFrame(
+        [
+            {
+                "repo": repo,
+                "total_events": total,
+                "batch_events": batch_events,
+                "max_commit_seq": max_seq,
+                "batches_seen": batches,
+            }
+        ]
+    )
+
+
+def repo_activity_state(events: DataFrame) -> DataFrame:
+    """Running per-repo activity over a streaming change log.  ``events``
+    must be a streaming DataFrame with (repo, commit_seq)."""
+    return (
+        events.select("repo", "commit_seq")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            _update_repo_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -107,3 +107,61 @@ def test_evolution_is_idempotent_with_batch(spark, tmp_path):
     v = table.manifest()["schema_version"]
     apply_batch(spark, table, ev, "b0")  # replay
     assert table.manifest()["schema_version"] == v
+
+
+def test_controls_embedded_in_stream_e2e(spark, tmp_path):
+    """Schema ops ride the SAME changelog as data events: the planner's
+    batched ingest discovers them mid-stream and evolves the table BEFORE
+    each affected MERGE; base-column state still equals the replay oracle;
+    old snapshots keep the old schema (time travel across an evolution)."""
+    import json as _json
+
+    from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+    from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+    from glad_tiles_pipeline_spark.sources.generator import inject_controls
+
+    log = inject_controls(
+        change_log(spark, 5000),
+        {
+            2600: _json.dumps(
+                {"op": "add_column", "name": "size_bytes", "type": "bigint",
+                 "source": "commit_seq"}
+            ),
+            4500: _json.dumps({"op": "rename_column", "from": "lang",
+                               "to": "language"}),
+        },
+    )
+    d = str(tmp_path / "log")
+    log.write.parquet(d)
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, table, d, batch_size=1000, merge_mode="mor")
+
+    # final schema carries both evolutions
+    names = [f.name for f in table.current_schema().fields]
+    assert "size_bytes" in names and "language" in names and "lang" not in names
+
+    # base columns == replay oracle over the DATA events (controls excluded)
+    events = spark.read.parquet(d).filter(F.col("control").isNull())
+    got = table.scan(spark).select(
+        "repo", "path", "commit", F.col("language").alias("lang"),
+        "content", "content_sha",
+    )
+    want = oracle_state_df(spark, events)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # the sourced new column: keys whose winning event merged in a batch at
+    # or after the add_column control carry size_bytes == its commit_seq;
+    # keys last touched before it keep NULL (schema-on-read, no rewrite)
+    with_sys = table.scan(spark, include_system=True).filter(~F.col("_deleted"))
+    post = with_sys.filter(F.col("_offset") >= 2000)  # batch containing 2600+
+    assert post.filter(
+        F.col("size_bytes") != F.col("_commit_seq")
+    ).count() == 0
+    pre = with_sys.filter(F.col("_offset") < 2000)
+    assert pre.filter(F.col("size_bytes").isNotNull()).count() == 0
+    assert pre.count() > 0 and post.count() > 0
+
+    # time travel: snapshot before the rename still reads as "lang"
+    early = table.scan(spark, snapshot_id=2)
+    assert "lang" in early.columns and "language" not in early.columns

@@ -123,3 +123,38 @@ def test_stream_metrics_tumbling_counts(spark, tmp_path, log_dir):
     batch = stream_metrics(spark.read.parquet(log_dir), window="1 minute")
     assert got.agg(F.sum("n_events")).collect()[0][0] == N
     assert batch.agg(F.sum("n_events")).collect()[0][0] == N
+
+
+def test_stateful_repo_activity(spark, tmp_path, log_dir):
+    """T5: applyInPandasWithState carries per-repo running totals across
+    micro-batches; the final update row per repo equals the batch truth."""
+    from glad_tiles_pipeline_spark.streaming.stateful import repo_activity_state
+
+    stream = read_changelog_stream(spark, log_dir, max_files_per_trigger=2)
+    q = (
+        repo_activity_state(stream)
+        .writeStream.format("memory")
+        .queryName("repo_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("repo_state")
+    # multiple micro-batches really happened (running state was exercised)
+    assert updates.groupBy("repo").count().agg(F.max("count")).collect()[0][0] > 1
+    # last update per repo == plain batch aggregation over the whole log
+    last = (
+        updates.groupBy("repo")
+        .agg(F.max(F.struct("batches_seen", "total_events", "max_commit_seq")).alias("w"))
+        .select("repo", F.col("w.total_events").alias("total_events"),
+                F.col("w.max_commit_seq").alias("max_commit_seq"))
+    )
+    truth = (
+        spark.read.parquet(log_dir)
+        .groupBy("repo")
+        .agg(F.count("*").alias("total_events"),
+             F.max("commit_seq").alias("max_commit_seq"))
+    )
+    assert last.exceptAll(truth).count() == 0 and truth.exceptAll(last).count() == 0
