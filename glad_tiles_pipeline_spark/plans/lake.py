@@ -213,6 +213,11 @@ class LakeTable:
         columns dropped.  ``include_system=True`` (the MERGE path): raw rows
         including tombstones and LWW ordering metadata.
         """
+        if snapshot_id is not None and snapshot_id < self.vacuum_horizon():
+            raise ValueError(
+                f"snapshot {snapshot_id} is below the vacuum horizon "
+                f"{self.vacuum_horizon()}; its data files were expired"
+            )
         m = self.manifest(snapshot_id)
         cur_fields = m["schemas"][str(m["schema_version"])]
         cur_schema = T.StructType(
@@ -339,6 +344,78 @@ class LakeTable:
             ) from e
         finally:
             os.unlink(tmp)
+
+    # -- retention / GC --------------------------------------------------------
+
+    def vacuum(
+        self, keep_last: int = 10, orphan_grace_seconds: float = 3600.0
+    ) -> dict:
+        """Expire old snapshots' data files + remove orphans.
+
+        Keeps the data files referenced by the newest ``keep_last``
+        snapshots; any data file referenced only by older snapshots — or by
+        no manifest at all (orphans from crashed commit attempts) — is
+        deleted.  Manifest JSONs are retained forever: they are tiny and
+        ``batch_committed`` depends on the full batch-id history for
+        idempotent replay.  Time travel below the resulting horizon raises
+        a clear error instead of a missing-file failure.
+
+        ``orphan_grace_seconds``: an unreferenced file younger than this is
+        NOT deleted — it may belong to a commit attempt that has written
+        data but not yet published its manifest (the commit protocol writes
+        data first).  Mirrors Iceberg's ``remove_orphan_files`` olderThan.
+        """
+        cur = self.current_snapshot_id()
+        horizon = max(0, cur - keep_last + 1)
+        retained: set[str] = set()
+        for sid in range(horizon, cur + 1):
+            retained |= {f["path"] for f in self.manifest(sid)["files"]}
+        superseded: set[str] = set()
+        for sid in range(0, horizon):
+            superseded |= {f["path"] for f in self.manifest(sid)["files"]}
+        superseded -= retained
+
+        removed_files = 0
+        removed_bytes = 0
+        now = time.time()
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel in retained:
+                    continue
+                if not fn.endswith(".parquet"):
+                    continue
+                # a file referenced by an expired manifest is provably not
+                # part of an in-flight commit — no grace needed; the grace
+                # window protects only TRUE orphans (never referenced), which
+                # may belong to a commit that has not yet published
+                if rel not in superseded and (
+                    now - os.path.getmtime(full) < orphan_grace_seconds
+                ):
+                    continue
+                removed_bytes += os.path.getsize(full)
+                os.unlink(full)
+                removed_files += 1
+            if not os.listdir(dirpath) and dirpath != data_root:
+                os.rmdir(dirpath)
+
+        marker = {"vacuum_horizon": horizon, "vacuumed_at": now,
+                  "removed_files": removed_files, "removed_bytes": removed_bytes}
+        tmp = os.path.join(self.root, f".vacuum.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(self.root, "vacuum.json"))
+        return marker
+
+    def vacuum_horizon(self) -> int:
+        """Oldest snapshot id whose data files are guaranteed present."""
+        p = os.path.join(self.root, "vacuum.json")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(json.load(f)["vacuum_horizon"])
 
     # -- schema evolution (§1.3) ----------------------------------------------
 

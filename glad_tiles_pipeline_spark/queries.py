@@ -402,6 +402,49 @@ def q_stream_tumbling(spark, sf_dir):
     )
 
 
+def q_session_windows(spark, sf_dir):
+    """T3: per-user session windows (30-min inactivity gap).  Session start
+    is the min event ts in the session — the oracle reproduces it with a
+    gaps-and-islands window SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def q_grouped_pandas_agg(spark, sf_dir):
+    """A7: custom per-group aggregate through the Arrow grouped-map surface
+    (applyInPandas) — median customer balance per nation.  Vectorized
+    pandas per group, never per-row Python."""
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def median_bal(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "c_nationkey": int(pdf["c_nationkey"].iloc[0]),
+                    "n_customers": len(pdf),
+                    "median_acctbal": float(
+                        pdf["c_acctbal"].quantile(0.5, interpolation="lower")
+                    ),
+                }
+            ]
+        )
+
+    return cust.select("c_nationkey", "c_acctbal").groupBy("c_nationkey").applyInPandas(
+        median_bal,
+        "c_nationkey int, n_customers bigint, median_acctbal double",
+    )
+
+
 # ----------------------------------------------------------- text analytics
 def q_text_tokens(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -684,6 +727,24 @@ ORACLES: dict[str, str] = {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
                count(*) AS n
         FROM events GROUP BY 1, 2""",
+    "stream_session_windows": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gaps)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid""",
+    "agg_grouped_pandas": """
+        SELECT c_nationkey, count(*) AS n_customers,
+               quantile_disc(c_acctbal, 0.5) AS median_acctbal
+        FROM customer GROUP BY c_nationkey""",
     "text_token_counts": r"""
         SELECT doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -741,6 +802,8 @@ QUERIES = {
     "fn_sha256_docs": q_fn_sha,
     "fn_lang_normalize": q_fn_lang_norm,
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_session_windows": q_session_windows,
+    "agg_grouped_pandas": q_grouped_pandas_agg,
     "text_token_counts": q_text_tokens,
     "text_quality_score": q_text_quality,
     "text_lang_id": q_text_langid,

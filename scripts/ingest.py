@@ -57,6 +57,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
     p.add_argument("--compact-every", type=int, default=None,
                    help="compact merge-on-read deltas every K batches")
+    p.add_argument("--vacuum-keep", type=int, default=None,
+                   help="after ingest, expire data files of snapshots older "
+                        "than the newest K (manifests/batch history kept)")
     p.add_argument("--master", default=None,
                    help="override master (tests); production uses spark-submit --master")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -118,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=args.merge_mode,
         )
 
+    vacuumed = None
+    if args.vacuum_keep is not None:
+        vacuumed = table.vacuum(keep_last=args.vacuum_keep)
+
     applied = [r for r in results if not r.get("skipped")]
     summary = {
         "mode": args.mode,
@@ -128,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot_id": table.current_snapshot_id(),
         "last_committed_offset": table.last_committed_offset(),
     }
+    if vacuumed is not None:
+        summary["vacuum"] = vacuumed
     print(json.dumps(summary))
     return 0
 
