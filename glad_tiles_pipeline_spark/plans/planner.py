@@ -13,7 +13,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.operators.merge import apply_batch, compact
-from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.plans.lake import CommitConflict, LakeTable
 from glad_tiles_pipeline_spark.sources.changelog import read_changelog_batch
 
 
@@ -58,14 +58,20 @@ def ingest_changelog(
             break
         hi = min(lo + batch_size - 1, hi_available)
         events = read_changelog_batch(spark, changelog_dir, lo - 1, hi)
-        res = apply_batch(
-            spark,
-            table,
-            events,
-            batch_id_for(lo, hi),
-            offsets={"lo": lo, "hi": hi},
-            **apply_kwargs,
-        )
+        try:
+            res = apply_batch(
+                spark,
+                table,
+                events,
+                batch_id_for(lo, hi),
+                offsets={"lo": lo, "hi": hi},
+                **apply_kwargs,
+            )
+        except CommitConflict:
+            # another writer published our target snapshot first — re-plan
+            # against the new table state (the loop re-reads the committed
+            # offset); our unpublished data files are orphans for vacuum
+            continue
         results.append(res)
         n += 1
         if compact_every is not None and n % compact_every == 0:
