@@ -1,0 +1,103 @@
+"""Physical-plan regression gates (SURVEY.md §4.1): the optimizations the
+engine depends on must be visible in the executed plan, not assumed.
+
+If one of these breaks, a future change silently reintroduced an extra
+shuffle / full scan / row-Python stage; at 100 TB these are the plan
+properties that decide whether the job finishes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.functions.hashing import bucket_col
+from glad_tiles_pipeline_spark.operators.dedup import lww_dedup_argmax
+from glad_tiles_pipeline_spark.operators.merge import plan_partition_ids
+from glad_tiles_pipeline_spark.queries import QUERIES
+from glad_tiles_pipeline_spark.sources.changelog import read_changelog_batch
+from glad_tiles_pipeline_spark.sources.generator import change_log
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan") / "log")
+    change_log(spark, 2000).write.parquet(d)
+    return d
+
+
+def test_offset_window_predicate_reaches_parquet(spark, log_dir):
+    df = read_changelog_batch(spark, log_dir, 500, 1000)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "offset" in plan.split("PushedFilters")[1][:200]
+
+
+def test_changelog_scan_prunes_columns(spark, log_dir):
+    df = read_changelog_batch(spark, log_dir, None, None).select("offset", "repo")
+    scan_line = [l for l in _plan(df).splitlines() if "ReadSchema" in l][0]
+    assert "content" not in scan_line  # 1 KB payload never read
+
+
+def test_merge_write_plan_has_single_exchange(spark, log_dir):
+    """The stats-planned repartition is the ONLY shuffle between the raw
+    events and the bucketed write: the dedup group-by reuses it."""
+    events = read_changelog_batch(spark, log_dir, None, None).filter(
+        F.col("control").isNull()
+    )
+    src, _ = plan_partition_ids(
+        events.withColumn("__bucket", bucket_col(8)),
+        {b: 1 for b in range(8)},
+        32,
+    )
+    winners = lww_dedup_argmax(
+        src.repartition(8, F.col("__pid")),
+        key=["__pid", "__bucket", "repo", "path"],
+    )
+    plan = _plan(winners.withColumn("content_sha", F.sha2(F.col("content"), 256)))
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 1, plan
+
+
+def test_flagship_uses_broadcast_join(spark):
+    plan = _plan(QUERIES["flagship_cdc_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    plan = _plan(QUERIES["join_broadcast_dims"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_row_python_udf_anywhere(spark):
+    """V5 ban (BASELINE.json: no per-row Python): every Python stage in
+    every registered query plan must be Arrow-vectorized — BatchEvalPython
+    (row-at-a-time pickle) must never appear."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = _plan(fn(spark, SF))
+        except Exception:  # pragma: no cover - plan-only probe
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_lww_argmax_has_partial_aggregation(spark):
+    """Skew immunity: the argmax dedup must plan partial (map-side)
+    aggregation before the shuffle."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        lww_dedup_argmax(ev, key=["user_id", "event_type"], order=["ts", "event_id"])
+    )
+    # struct-max aggregates plan as SortAggregate (immutable agg buffer),
+    # but the load-bearing property is the same: a partial_max BEFORE the
+    # exchange, so a hot key is reduced to ≤1 row per map task pre-shuffle
+    pre_exchange = plan.split("Exchange")[-1]
+    assert "partial_max" in pre_exchange
