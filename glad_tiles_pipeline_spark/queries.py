@@ -418,6 +418,30 @@ def q_session_windows(spark, sf_dir):
     )
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """S5: CSV source parity — snapshot the nation dim to CSV, read it back
+    with an explicit schema (header, quoted strings), aggregate per region.
+    The oracle runs the same aggregate on the parquet twin, so any CSV
+    quoting/typing drift fails the value-hash."""
+    import os
+    import tempfile
+
+    nat = _t(spark, sf_dir, "nation")
+    csv_dir = os.path.join(
+        tempfile.gettempdir(), f"csv_nation_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    nat.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int, n_comment string")
+        .csv(csv_dir)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
 def q_grouped_pandas_agg(spark, sf_dir):
     """A7: custom per-group aggregate through the Arrow grouped-map surface
     (applyInPandas) — median customer balance per nation.  Vectorized
@@ -741,6 +765,9 @@ ORACLES: dict[str, str] = {
             FROM gaps)
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         FROM sess GROUP BY user_id, sid""",
+    "source_csv_roundtrip": """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM nation GROUP BY n_regionkey""",
     "agg_grouped_pandas": """
         SELECT c_nationkey, count(*) AS n_customers,
                quantile_disc(c_acctbal, 0.5) AS median_acctbal
@@ -804,6 +831,7 @@ QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_session_windows": q_session_windows,
     "agg_grouped_pandas": q_grouped_pandas_agg,
+    "source_csv_roundtrip": q_csv_roundtrip,
     "text_token_counts": q_text_tokens,
     "text_quality_score": q_text_quality,
     "text_lang_id": q_text_langid,
