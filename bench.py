@@ -95,7 +95,10 @@ def main() -> None:
     # Warm the JVM/Arrow path once so the first timed query isn't paying init.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    # tmpfs scratch when available: the CDC e2e measures the engine, not
+    # this sandbox's noisy virtual disk (see BENCH/BASELINE.md methodology)
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_", dir=scratch_root)
     try:
         cdc = bench_cdc_ingest(spark, n_events, workdir)
     finally:
