@@ -37,6 +37,10 @@ def asof_join(
         F.lit(None).cast("long").alias("__r_ord"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
+    # a right row with NULL time can never satisfy right_time <= left_time;
+    # unfiltered it would sort FIRST (asc = NULLS FIRST) and be carried onto
+    # left rows that should have no match
+    right = right.filter(F.col(right_time).isNotNull())
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
         *[F.col(c) for c in on],

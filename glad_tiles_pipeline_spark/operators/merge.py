@@ -197,8 +197,11 @@ def apply_batch(
         affected = None  # discovered from the written files
         hist = (parent_manifest.get("metrics") or {}).get("bucket_rows") or {}
         bucket_rows = {int(k): max(int(v), 1) for k, v in hist.items()}
-        if not bucket_rows:
-            bucket_rows = {b: 1 for b in range(n_buckets)}
+        # every bucket needs a pid mapping: a bucket quiet last batch but
+        # hot now would otherwise map to NULL __pid and serialize all its
+        # rows onto one reducer
+        for b in range(n_buckets):
+            bucket_rows.setdefault(b, 1)
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 
@@ -362,7 +365,6 @@ def apply_batch(
 
     n_winners = sum(r["winners"] for r in bucket_stats)
     n_deletes = sum(r["deleted"] or 0 for r in bucket_stats)
-    off_hi_seen = max((r["off_hi"] for r in bucket_stats), default=None)
     events_read = sum(r["n_events"] or 0 for r in bucket_stats)
     if events_read == 0 and n_winners > 0:
         # non-argmax strategies don't carry _n_src_events — one extra count
@@ -376,9 +378,14 @@ def apply_batch(
         )
 
     if offsets is None:
+        # rare path (planner and stream bridge both pass offsets): the
+        # committed high-water mark must cover EVERY consumed offset, not
+        # just LWW winners — a losing/control event can hold the batch max,
+        # and undershooting hi makes the next resume re-read the tail
         prev_hi = table.manifest(expected_parent)["offsets"]["hi"]
+        batch_hi = events.agg(F.max("offset").alias("m")).collect()[0]["m"]
         offsets = {"lo": prev_hi + 1,
-                   "hi": int(off_hi_seen if off_hi_seen is not None else prev_hi)}
+                   "hi": int(batch_hi if batch_hi is not None else prev_hi)}
     metrics = {
         "events_read": events_read,
         "control_events": len(controls),

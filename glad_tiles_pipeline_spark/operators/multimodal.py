@@ -73,8 +73,14 @@ def decode_stub_features(media: DataFrame) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(len).astype("int64")
-            # deterministic fake dimensions/checksum derived from the bytes
-            first = pdf["payload"].map(lambda b: b[0] if len(b) else 0).astype("int64")
+            # deterministic fake dimensions/checksum; "first" is the CODE
+            # POINT of the first character (not the first UTF-8 byte) so the
+            # DuckDB oracle's ascii(substr(text,1,1)) matches beyond ASCII
+            first = pdf["payload"].map(
+                lambda b: ord(b[:4].decode("utf-8", errors="ignore")[0])
+                if len(b)
+                else 0
+            ).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

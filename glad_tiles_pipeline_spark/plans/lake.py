@@ -366,7 +366,11 @@ class LakeTable:
         data first).  Mirrors Iceberg's ``remove_orphan_files`` olderThan.
         """
         cur = self.current_snapshot_id()
-        horizon = max(0, cur - keep_last + 1)
+        # monotone: a later vacuum with a laxer keep_last must never move
+        # the horizon backwards — files below the old horizon are already
+        # gone, and re-exposing those snapshots would trade the clear
+        # time-travel error for a missing-file crash
+        horizon = max(0, cur - keep_last + 1, self.vacuum_horizon())
         retained: set[str] = set()
         for sid in range(horizon, cur + 1):
             retained |= {f["path"] for f in self.manifest(sid)["files"]}

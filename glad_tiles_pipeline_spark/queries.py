@@ -26,6 +26,7 @@ from glad_tiles_pipeline_spark.functions.text import (
     lang_id_heuristic,
     normalize_lang,
     normalize_lang_sql,
+    quality_score,
     token_count,
 )
 from glad_tiles_pipeline_spark.operators.asof import asof_join
@@ -427,9 +428,7 @@ def q_csv_roundtrip(spark, sf_dir):
     import tempfile
 
     nat = _t(spark, sf_dir, "nation")
-    csv_dir = os.path.join(
-        tempfile.gettempdir(), f"csv_nation_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    csv_dir = tempfile.mkdtemp(prefix="csv_nation_")
     nat.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
     back = (
         spark.read.option("header", True)
@@ -481,19 +480,7 @@ def q_text_tokens(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    c = F.col("text")
-    n_chars = F.length(c).cast("double")
-    words = F.split(F.lower(F.trim(c)), r"\s+")
-    n_words = F.size(words).cast("double")
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
-    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
-    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    stop_score = F.least(stop_hits / F.greatest(n_words, F.lit(1.0)) * 5.0, F.lit(1.0))
-    punct_penalty = F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 10.0, F.lit(1.0))
-    quality = F.round(
-        len_score * 0.4 + stop_score * 0.4 + (F.lit(1.0) - punct_penalty) * 0.2, 6
-    )
-    return docs.select("doc_id", quality.alias("quality"))
+    return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
 def q_text_langid(spark, sf_dir):
@@ -755,7 +742,7 @@ ORACLES: dict[str, str] = {
         WITH gaps AS (
             SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             > INTERVAL '30 minutes'
+                             >= INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS brk
             FROM events),
         sess AS (

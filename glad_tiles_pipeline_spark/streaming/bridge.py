@@ -29,6 +29,8 @@ the same query with a continuous trigger.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,23 +79,52 @@ def stream_ingest(
     Runs with ``Trigger.AvailableNow`` (bounded replay); returns the
     per-micro-batch ``apply_batch`` summaries.  Safe to re-run: replayed
     micro-batches are detected by batch_id and skipped.
+
+    The fencing batch_id is CONTENT-ADDRESSED — ``s{lo}-{hi}`` from the
+    micro-batch's own offset range, like the batch planner's ``b{lo}-{hi}``
+    — never Spark's checkpoint-relative epoch number.  An epoch-based id
+    silently collides after a checkpoint reset (fresh checkpoint → epoch
+    restarts at 0 → a batch containing NEW data matches an old committed
+    id and is dropped); the offset range keeps fencing tied to what the
+    batch actually holds, and re-merging previously-seen events under a
+    wider range is harmless by LWW idempotence.
     """
     results: list[dict] = []
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
+        # One slim job pins the batch's identity + offsets (column-pruned
+        # offset/ts scan); also feeds the late-event cut.
+        stats = df.agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.max("ts").alias("max_ts"),
+        ).collect()[0]
+        if stats["lo"] is None:
+            return  # empty micro-batch: nothing to commit
+        content_batch_id = f"s{int(stats['lo'])}-{int(stats['hi'])}"
+        offsets = {"lo": int(stats["lo"]), "hi": int(stats["hi"])}
+
+        n_late = 0
         if quarantine_dir is not None and late_threshold is not None:
             # T7 strict policy: quarantine events whose event-time lags the
-            # batch's own max ts by more than the threshold.
-            hi = df.agg(F.max("ts").alias("m")).collect()[0]["m"]
-            if hi is not None:
-                cut = F.lit(hi) - F.expr(f"INTERVAL {late_threshold}")
-                late = df.filter(F.col("ts") < cut)
-                n_late = late.count()
-                if n_late:
-                    late.write.mode("append").parquet(quarantine_dir)
-                df = df.filter(F.col("ts") >= cut)
-        res = apply_batch(spark, table, df, batch_id=f"s{batch_id:08d}", **apply_kwargs)
+            # batch's own max ts by more than the threshold.  The sink path
+            # is keyed by batch_id and overwritten, so a replayed
+            # micro-batch rewrites the same files instead of appending
+            # duplicates (exactly-once for the quarantine too).
+            cut = F.lit(stats["max_ts"]) - F.expr(f"INTERVAL {late_threshold}")
+            late = df.filter(F.col("ts") < cut)
+            n_late = late.count()
+            if n_late:
+                late.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_dir, f"batch={content_batch_id}")
+                )
+            df = df.filter(F.col("ts") >= cut)
+        res = apply_batch(
+            spark, table, df, batch_id=content_batch_id,
+            offsets=offsets, **apply_kwargs,
+        )
+        res["quarantined"] = n_late
         results.append(res)
 
     events = read_changelog_stream(

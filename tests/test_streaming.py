@@ -158,3 +158,20 @@ def test_stateful_repo_activity(spark, tmp_path, log_dir):
              F.max("commit_seq").alias("max_commit_seq"))
     )
     assert last.exceptAll(truth).count() == 0 and truth.exceptAll(last).count() == 0
+
+
+def test_checkpoint_reset_does_not_lose_data(spark, tmp_path, log_dir):
+    """Regression: with epoch-based batch ids, a lost/reset checkpoint made
+    Spark re-deliver everything as batch 0, which matched an old committed
+    id and silently dropped the NEW events.  Content-addressed ids must
+    survive a full checkpoint reset."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    stream_ingest(spark, table, log_dir, str(tmp_path / "ckptA"))
+
+    change_log(spark, 1500, seed=47).withColumn(
+        "offset", F.col("offset") + N
+    ).repartition(2).write.mode("append").parquet(log_dir)
+
+    # checkpoint lost: fresh dir → epochs restart at 0
+    stream_ingest(spark, table, log_dir, str(tmp_path / "ckptB"))
+    _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
