@@ -40,6 +40,34 @@ normalize_lang = F.pandas_udf(normalize_lang_series, StringType())
 normalize_lang.__doc__ = "Arrow-vectorized lang normalizer (V1)."
 
 
+def _normalize_lang_iter(batches):
+    """Iterator-of-Series kernel (V2): per-partition init (the alias table,
+    here a dict copy standing in for a model/table load) is paid ONCE per
+    Python worker, then amortized over every Arrow batch the worker sees —
+    the surface for UDFs with expensive setup."""
+    alias_table = dict(LANG_ALIASES)  # per-partition init, once
+    for s in batches:
+        low = s.str.lower().str.strip()
+        yield low.map(alias_table).fillna(low)
+
+
+# Typed via the Iterator[pd.Series] -> Iterator[pd.Series] pandas_udf variant.
+from collections.abc import Iterator  # noqa: E402
+
+
+def _normalize_lang_iter_typed(
+    batches: Iterator[pd.Series],
+) -> Iterator[pd.Series]:
+    yield from _normalize_lang_iter(batches)
+
+
+normalize_lang_iter = F.pandas_udf(_normalize_lang_iter_typed, StringType())
+normalize_lang_iter.__doc__ = (
+    "Iterator pandas UDF lang normalizer (V2) — same semantics as "
+    "normalize_lang, amortized per-partition init."
+)
+
+
 def normalize_lang_expr(col: str | Column = "lang") -> Column:
     """JVM-native equivalent of ``normalize_lang`` as a CASE expression.
 

@@ -75,7 +75,13 @@ def ingest_changelog(
         results.append(res)
         n += 1
         if compact_every is not None and n % compact_every == 0:
-            compact(spark, table)
+            try:
+                compact(spark, table)
+            except CommitConflict:
+                # compaction lost a commit race to a concurrent writer —
+                # idempotent and purely an optimization, so skip; the next
+                # compact_every interval retries against the new snapshot
+                pass
         if max_batches is not None and n >= max_batches:
             break
     return results

@@ -160,6 +160,38 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+def q_window_rank_family(spark, sf_dir):
+    """W2: rank / dense_rank / ntile in one pass.  rank+dense_rank are
+    ordered by a coarse (tie-prone) value so the gap/no-gap semantics are
+    actually exercised; ntile is ordered by a unique total order so the
+    bucket assignment is deterministic on both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    coarse = F.round(F.col("c_acctbal"), -2)
+    w_ties = Window.partitionBy("c_mktsegment").orderBy(F.desc(coarse))
+    w_total = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.rank().over(w_ties))
+        .withColumn("drnk", F.dense_rank().over(w_ties))
+        .withColumn("quartile", F.ntile(4).over(w_total))
+        .filter(F.col("rnk") <= 10)
+        .select("c_mktsegment", "c_custkey", "rnk", "drnk", "quartile")
+    )
+
+
+def q_sort_limit_offset(spark, sf_dir):
+    """O3: global sort + offset paging — rows 11–20 of customers by balance.
+    Deterministic because the sort key ends in the unique custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .offset(10)
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------- aggregates
 def q_agg_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -184,6 +216,43 @@ def q_agg_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
+    )
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    """A3: approx_count_distinct (HLL++) — the cheap-cardinality primitive
+    the §4.2 salt-factor heuristic reads.  The sketch is engine-specific, so
+    the checkable contract is the TOLERANCE, not the raw estimate: the query
+    emits the exact count plus a boolean asserting the HLL estimate landed
+    within 5%; the oracle asserts the same contract (exact count + TRUE).
+    A drifting sketch fails the value-hash."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("__approx") - F.col("n_users"))
+                <= F.greatest(F.col("n_users") * 0.05, F.lit(1.0))
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+def q_agg_cube(spark, sf_dir):
+    """A5: CUBE over (o_orderstatus, o_orderpriority) — all four grouping
+    sets in one pass (the rollup twin covers the hierarchical case)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(D182)), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -325,6 +394,69 @@ def q_join_salted(spark, sf_dir):
     )
 
 
+def q_join_shuffle_hash(spark, sf_dir):
+    """J3: shuffled-hash join — planner-forced via the SHUFFLE_HASH hint.
+    Same answer as a sort-merge plan; the hint trades the per-partition sort
+    for an in-memory hash build, the right call when one side is mid-size
+    (too big to broadcast, small enough to hash per partition)."""
+    orders = _t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(D182)  # noqa: E731
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_join_cross(spark, sf_dir):
+    """J10: explicit cross join (nested loop) — every (region, nation) pair,
+    scored by whether the nation belongs to the region.  dim × dim only; a
+    cross join is never the scale path, it exists as the building block the
+    salt fan-out / small-domain enumeration patterns reduce to."""
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = _t(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    return (
+        reg.crossJoin(nat)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0)
+            ).alias("n_members"),
+        )
+    )
+
+
+def q_join_full_outer(spark, sf_dir):
+    """J6 (full outer): per-nation customer counts FULL OUTER per-nation
+    supplier counts — each side filtered to a different key range so both
+    null sides of the join are actually exercised."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 13)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 12)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ set ops
 def q_setop_except(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -365,6 +497,34 @@ def q_fn_json(spark, sf_dir):
         ev.withColumn("k_mod", F.pmod(k, F.lit(10)))
         .groupBy("k_mod")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def q_fn_from_json(spark, sf_dir):
+    """F8 (from_json): parse the props JSON column into a typed struct with
+    an explicit schema — the schema-evo control-event decode path uses the
+    same primitive (operators/merge.py)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy(F.pmod(F.col("p.k"), F.lit(7)).alias("k_mod7"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+def q_fn_lang_norm_iter(spark, sf_dir):
+    """V2: iterator pandas UDF variant of fn_lang_normalize — identical
+    answer, per-partition-amortized init (functions/text.py)."""
+    from glad_tiles_pipeline_spark.functions.text import normalize_lang_iter
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_n", normalize_lang_iter(F.col("lang")))
+        .groupBy(F.col("lang_n").alias("lang"))
+        .agg(F.count("*").alias("n_docs"))
     )
 
 
@@ -419,17 +579,33 @@ def q_session_windows(spark, sf_dir):
     )
 
 
-def q_csv_roundtrip(spark, sf_dir):
-    """S5: CSV source parity — snapshot the nation dim to CSV, read it back
-    with an explicit schema (header, quoted strings), aggregate per region.
-    The oracle runs the same aggregate on the parquet twin, so any CSV
-    quoting/typing drift fails the value-hash."""
-    import os
+_CSV_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _csv_nation_fixture(spark, sf_dir) -> str:
+    """Write the nation dim to CSV exactly once per (process, sf_dir) and
+    clean it up at exit — keeps the write side effect out of the repeatedly
+    timed/verified query path (it's a fixture, not part of the query)."""
+    import atexit
+    import shutil
     import tempfile
 
-    nat = _t(spark, sf_dir, "nation")
-    csv_dir = tempfile.mkdtemp(prefix="csv_nation_")
-    nat.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    if sf_dir not in _CSV_FIXTURE_CACHE:
+        csv_dir = tempfile.mkdtemp(prefix="csv_nation_")
+        _t(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(csv_dir)
+        _CSV_FIXTURE_CACHE[sf_dir] = csv_dir
+        atexit.register(shutil.rmtree, csv_dir, ignore_errors=True)
+    return _CSV_FIXTURE_CACHE[sf_dir]
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """S5: CSV source parity — snapshot the nation dim to CSV (once, as a
+    fixture), read it back with an explicit schema (header, quoted strings),
+    aggregate per region.  The oracle runs the same aggregate on the parquet
+    twin, so any CSV quoting/typing drift fails the value-hash."""
+    csv_dir = _csv_nation_fixture(spark, sf_dir)
     back = (
         spark.read.option("header", True)
         .schema("n_nationkey int, n_name string, n_regionkey int, n_comment string")
@@ -709,6 +885,56 @@ ORACLES: dict[str, str] = {
                count(*) AS n_items
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority""",
+    "join_shuffle_hash": """
+        SELECT o.o_orderpriority,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority""",
+    "join_cross_pairs": """
+        SELECT r.r_name, count(*) AS n_pairs,
+               CAST(sum(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END) AS BIGINT) AS n_members
+        FROM region r CROSS JOIN nation n
+        GROUP BY r.r_name""",
+    "join_full_outer_counts": """
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(c.n_customers, 0) AS n_customers,
+               COALESCE(s.n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+              FROM customer WHERE c_nationkey < 13 GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+              FROM supplier WHERE s_nationkey >= 12 GROUP BY 1) s
+        USING (nationkey)""",
+    "window_rank_family": """
+        SELECT c_mktsegment, c_custkey, CAST(rnk AS INT) AS rnk,
+               CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile
+        FROM (
+          SELECT c_mktsegment, c_custkey,
+                 rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY round(c_acctbal, -2) DESC) AS rnk,
+                 dense_rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY round(c_acctbal, -2) DESC) AS drnk,
+                 ntile(4) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS quartile
+          FROM customer
+        ) WHERE rnk <= 10""",
+    "sort_limit_offset": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 10""",
+    "agg_approx_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type""",
+    "agg_cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "fn_from_json_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod7,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1""",
     "setop_except_custkeys": """
         SELECT o_custkey FROM (
           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -732,6 +958,9 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2""",
     "fn_sha256_docs": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "fn_lang_normalize": f"""
+        SELECT {_nls('lang')} AS lang, count(*) AS n_docs
+        FROM documents GROUP BY 1""",
+    "fn_lang_normalize_iter": f"""
         SELECT {_nls('lang')} AS lang, count(*) AS n_docs
         FROM documents GROUP BY 1""",
     "stream_tumbling_counts": """
@@ -808,6 +1037,15 @@ QUERIES = {
     "join_range_value_buckets": q_join_range,
     "join_asof_latest_order": q_join_asof,
     "join_skew_salted": q_join_salted,
+    "join_shuffle_hash": q_join_shuffle_hash,
+    "join_cross_pairs": q_join_cross,
+    "join_full_outer_counts": q_join_full_outer,
+    "window_rank_family": q_window_rank_family,
+    "sort_limit_offset": q_sort_limit_offset,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_cube_status_priority": q_agg_cube,
+    "fn_from_json_props": q_fn_from_json,
+    "fn_lang_normalize_iter": q_fn_lang_norm_iter,
     "setop_except_custkeys": q_setop_except,
     "setop_intersect_nations": q_setop_intersect,
     "union_by_name_counts": q_union_by_name,
