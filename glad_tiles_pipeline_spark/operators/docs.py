@@ -144,33 +144,60 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
     return jaccard_pairs(docs, cands, threshold=threshold)
 
 
+def length_banded_pairs(
+    docs: DataFrame,
+    band_width: int = 16,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs whose lengths differ by ≤ band_width/2,
+    via TWO length grids of cell width ``band_width`` offset by half a cell:
+    any two lengths within band_width/2 of each other share a cell in at
+    least one grid (1-D pigeonhole), so recall over that length window is
+    1.0 and the join is a pure equi-join on (grid, cell) — never a range or
+    theta join.  Each doc emits exactly 2 slim rows (id, grid, cell)."""
+    half = band_width // 2
+    cells = F.array(
+        F.struct(F.lit(0).alias("g"),
+                 F.floor(F.col(len_col) / band_width).alias("cell")),
+        F.struct(F.lit(1).alias("g"),
+                 F.floor((F.col(len_col) + half) / band_width).alias("cell")),
+    )
+    keyed = docs.select(F.col(id_col), F.explode(cells).alias("gc")).select(
+        F.col(id_col), F.col("gc.g").alias("g"), F.col("gc.cell").alias("cell")
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), "g", "cell")
+    b = keyed.select(F.col(id_col).alias("id_b"), "g", "cell")
+    return (
+        a.join(b, ["g", "cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_blocked(
     docs: DataFrame,
     threshold: float = 0.5,
+    band_width: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_cols: list[str] | None = None,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup with a cheap blocking key (default: same lang
-    + same n_chars) instead of LSH — the SQL-expressible variant the DuckDB
-    oracle can verify exactly."""
-    block_cols = block_cols or ["lang", "n_chars"]
-    a = docs.select(
-        F.col(id_col).alias("id_a"), *block_cols, F.col(text_col).alias("__ta")
-    )
-    b = docs.select(
-        F.col(id_col).alias("id_b"), *block_cols, F.col(text_col).alias("__tb")
-    )
-    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
-    jac = F.size(
-        F.array_intersect(_shingles(F.col("__ta")), _shingles(F.col("__tb")))
-    ).cast("double") / F.size(
-        F.array_union(_shingles(F.col("__ta")), _shingles(F.col("__tb")))
-    ).cast("double")
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    """n-gram Jaccard near-dup with a length-band blocking key — the
+    SQL-expressible variant the DuckDB oracle verifies exactly (same double
+    grid + same jaccard in SQL).
+
+    Blocking on length is the classic size filter for set-similarity joins:
+    near-identical documents have near-identical lengths (jaccard ≥ t bounds
+    the shingle-set size ratio to ≥ t).  The length window caught here is
+    ± band_width/2 chars — a bounded-recall heuristic tuned for the
+    edit-jitter regime; the principled any-length path is MinHash LSH
+    (``minhash_neardup``).  Within-block work is quadratic, so block sizes
+    must stay bounded (tests/test_similarity_recall.py gates this); a corpus spike at
+    one exact length degrades to that block's square — use LSH there."""
+    pairs = length_banded_pairs(docs, band_width, id_col=id_col)
+    return jaccard_pairs(
+        docs, pairs, threshold=threshold, id_col=id_col, text_col=text_col
     )
 
 
@@ -205,17 +232,46 @@ def simhash_neardup(
     text_col: str = "text",
 ) -> DataFrame:
     """SimHash near-dup: docs whose 32-bit signatures differ in ≤ max_hamming
-    bits.  Blocking on the high 16 bits keeps the self-join linear-ish; the
-    Hamming filter is bit_count(xor)."""
-    sigs = docs.select(
-        F.col(id_col), simhash32(F.col(text_col)).alias("sig")
-    ).withColumn("block", F.shiftright(F.col("sig"), 16))
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "block")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "block")
+    bits — EXACT for the radius, via pigeonhole multi-band blocking.
+
+    The 32 signature bits are split into ``max_hamming + 1`` disjoint bands;
+    a pair differing in ≤ max_hamming bits must agree exactly on at least
+    one band (pigeonhole), so candidates = union of per-band equi-joins and
+    recall is 1.0 by construction (the round-1 single-block variant silently
+    missed any pair whose differing bits touched the block).  The Hamming
+    verify is bit_count(xor) on the full signatures, carried through the
+    band join (8 B/row).  Each band is an equi-join on a ~32/(h+1)-bit key:
+    shuffle-friendly, never all-pairs; the explode costs (h+1)× rows of
+    (id, sig, band, band_bits) — slim columns only."""
+    n_bands = max_hamming + 1
+    width = (32 + n_bands - 1) // n_bands  # ceil: bands cover all 32 bits
+    sigs = docs.select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_bits"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        F.col(id_col), F.col("sig"),
+        F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_bits"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_bits"
+    )
     return (
-        a.join(b, "block")
+        a.join(b, ["band", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
