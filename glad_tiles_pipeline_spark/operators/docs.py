@@ -85,8 +85,11 @@ def minhash_lsh_pairs(
     # ONE pass over the signatures: bands come out of an explode instead of
     # an n_bands-way union (which would re-run the shingle explode + K-min
     # aggregation per band — measured 10 full scans without it).  The
-    # banded frame is ~24 B/row × n_bands rows per doc; persist it so the
-    # self-join's two sides and the distinct share one materialization.
+    # self-join's two sides contain the identical aggregate subtree, so
+    # Spark's exchange reuse (ReusedExchange, verified in the plan by
+    # tests/test_plan_shapes.py) executes the expensive explode+K-min ONCE
+    # and serves both sides from the same shuffle output — same effect as
+    # the round-1 persist() but with no storage-memory leak to unpersist.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -100,7 +103,6 @@ def minhash_lsh_pairs(
         sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
         .select(F.col(id_col), F.col("bb.band").alias("band"),
                 F.col("bb.band_hash").alias("band_hash"))
-        .persist()
     )
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")

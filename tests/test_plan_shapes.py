@@ -89,6 +89,28 @@ def test_no_row_python_udf_anywhere(spark):
     assert offenders == []
 
 
+def test_minhash_self_join_reuses_exchange(spark):
+    """The LSH band self-join's two sides share the identical shingle-
+    explode + K-min aggregate subtree; Spark must serve both from ONE
+    execution via ReusedExchange (replaces round 1's leaked persist())."""
+    df = QUERIES["dedup_minhash_lsh"](spark, SF)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+             "dedup_embedding_cosine", "ann_lsh_topk"]
+)
+def test_neardup_plans_have_no_cartesian(spark, name):
+    """Every near-dup/ANN operator must plan as blocked equi-joins — an
+    all-pairs CartesianProduct is the 100 TB failure mode."""
+    plan = _plan(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_lww_argmax_has_partial_aggregation(spark):
     """Skew immunity: the argmax dedup must plan partial (map-side)
     aggregation before the shuffle."""
