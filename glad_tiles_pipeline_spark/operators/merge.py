@@ -120,7 +120,7 @@ def apply_batch(
     batch_id: str,
     *,
     dedup_strategy: str = "argmax",
-    use_arrow_udfs: bool = False,
+    use_arrow_udfs: bool = True,
     offsets: dict | None = None,
     merge_mode: str = "cow",
 ) -> dict:
@@ -128,13 +128,13 @@ def apply_batch(
     summary dict (snapshot_id, metrics).  Re-invocation with a committed
     batch_id is a no-op (idempotent replay).
 
-    ``use_arrow_udfs``: True routes lang normalization through the
-    Arrow-vectorized pandas UDF (the surface BASELINE.json mandates —
-    batch-at-a-time, never per-row Python); False uses the provably
+    ``use_arrow_udfs`` (default True — the surface the spec mandates):
+    lang normalization runs through the Arrow-vectorized pandas UDF,
+    batch-at-a-time, never per-row Python.  False opts into the provably
     equivalent JVM expression twin (tests/test_functions.py asserts
-    equality), which stays inside whole-stage codegen and avoids buffering
-    full rows around the Python exchange (~16% faster end-to-end).  Both
-    satisfy the "no per-row Python" rule; default is the codegen twin.
+    equality), which stays inside whole-stage codegen and skips the Python
+    exchange (~16% faster end-to-end in round-1 measurements) — offered as
+    the opt-in fast path for deployments that don't need the UDF surface.
     """
     already = table.batch_committed(batch_id)
     if already is not None:
@@ -205,47 +205,20 @@ def apply_batch(
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 
-    # Full-width winners: ONE stats-planned shuffle (plan_partition_ids) —
-    # the dedup aggregate and the partitionBy write both reuse it, so
-    # ``content`` crosses the wire exactly once per batch.  The argmax path
-    # folds the per-key pre-dedup event count into the same HashAggregate
-    # (``_n_src_events``), which the post-write stats read back.
-    src_events, _n_pids = plan_partition_ids(
-        data_events.withColumn("__bucket", bucket_col(n_buckets)),
-        bucket_rows,
-        4 * target_parts,
-        path_col="path",
-    )
-    src_events = src_events.repartition(target_parts, F.col("__pid"))
-    dedup_key = ["__pid", "__bucket", "repo", "path"]
-    if dedup_strategy == "argmax":
-        winners = lww_dedup_argmax(
-            src_events, key=dedup_key, count_col="_n_src_events"
-        ).drop("__pid")
-    else:
-        winners = (
-            lww_dedup(src_events, key=dedup_key, strategy=dedup_strategy)
-            .drop("__pid")
-            .withColumn("_n_src_events", F.lit(None).cast("long"))
-        )
-
-    # -- 3. normalize + sha on winners only (Arrow-vectorized per the
-    #       input_hint; JVM twin available for the pure-codegen path).
-    #       Deletes become tombstone rows (payload NULL, _deleted=true):
-    #       the table must remember a winning delete's commit order, or a
-    #       still-older event arriving in a later batch would resurrect the
-    #       key (the replay oracle applies in global commit order).
+    # -- 3. project raw events → current table schema + system columns,
+    #       BEFORE any dedup.  Pure per-row column expressions (codegen):
+    #       field-id projection, delete null-out, lang normalization
+    #       (Arrow-vectorized per the input_hint; JVM twin opt-in).
+    #       sha256 is DEFERRED to post-dedup so it runs on winners only —
+    #       at 10^10 events this is the difference between hashing every
+    #       event and hashing every surviving key.  Deletes become tombstone
+    #       rows (payload NULL, _deleted=true): the table must remember a
+    #       winning delete's commit order, or a still-older event arriving
+    #       in a later batch would resurrect the key.
     lang_norm = (
         normalize_lang(F.col("lang")) if use_arrow_udfs else normalize_lang_expr("lang")
     )
     is_del = F.col("op") == "D"
-    winner_src = (
-        winners.withColumn("lang", F.when(is_del, F.lit(None)).otherwise(lang_norm))
-        .withColumn("content_sha", F.sha2(F.col("content"), 256))
-        .withColumn("_deleted", is_del)
-    )
-    # project event payload -> current table schema via stable field sources;
-    # key fields (ids 1, 2) always come from the event key, even on deletes
     proj = []
     for f in fields:
         src = f.get("source")
@@ -253,34 +226,66 @@ def apply_batch(
             proj.append(F.col("repo").cast(f["type"]).alias(f["name"]))
         elif f["id"] == 2:
             proj.append(F.col("path").cast(f["type"]).alias(f["name"]))
-        elif src is not None and src in winner_src.columns:
+        elif src == "lang" and src in data_events.columns:
+            proj.append(
+                F.when(is_del, F.lit(None)).otherwise(lang_norm)
+                .cast(f["type"]).alias(f["name"])
+            )
+        elif src is not None and src in data_events.columns:
             expr = F.when(is_del, F.lit(None)).otherwise(F.col(src))
             proj.append(expr.cast(f["type"]).alias(f["name"]))
         else:
+            # content_sha (computed post-dedup) and added-by-evolution
+            # columns land here as typed NULLs
             proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-    incoming = winner_src.select(
+    incoming_raw = data_events.withColumn("__bucket", bucket_col(n_buckets)).select(
         *proj,
         F.col("commit_seq").alias("_commit_seq"),
         F.col("offset").alias("_offset"),
-        F.col("_deleted"),
-        F.col("_n_src_events"),
+        is_del.alias("_deleted"),
         F.col("__bucket"),
     )
 
-    # -- 4. bucket-pruned LWW merge: union the affected buckets' raw rows
-    #       (incl. tombstones) with the incoming winners, take the arg-max
-    #       by (_commit_seq, _offset) per key — table rows older than an
-    #       incoming event lose; incoming events older than the table lose.
+    # locate the content → content_sha pair through any renames (stable
+    # sources); the invariant column is filled post-dedup via coalesce, so
+    # live CoW rows keep their stored sha and only event winners are hashed
+    sha_field = next((f for f in fields if f.get("source") == "content_sha"), None)
+    content_field = next((f for f in fields if f.get("source") == "content"), None)
+
+    def _fill_sha(df: DataFrame) -> DataFrame:
+        if sha_field is None or content_field is None:
+            return df
+        return df.withColumn(
+            sha_field["name"],
+            F.coalesce(
+                F.col(sha_field["name"]),
+                F.when(
+                    ~F.col("_deleted"), F.sha2(F.col(content_field["name"]), 256)
+                ),
+            ),
+        )
+
+    # -- 4. bucket-pruned LWW merge.  Both modes move full-width content
+    #       through exactly ONE stats-planned shuffle (plan_partition_ids):
+    #       the dedup aggregate reuses the repartition's hash partitioning
+    #       (pid ∈ grouping keys ⇒ no second exchange) and the partitionBy
+    #       write emits straight out of the aggregate.
+    dedup_strategy_eff = (
+        dedup_strategy if dedup_strategy != "semijoin" else "argmax"
+    )
     if merge_mode == "cow":
         # Copy-on-write: rewrite every affected bucket with the LWW winner
         # per key.  Read-optimal (scan needs no resolution), write cost
-        # O(affected table data) per batch.  The (live ∪ incoming) union
-        # gets its own stats-planned shuffle, sized by batch + live rows.
+        # O(affected table data) per batch.  Raw events and live rows are
+        # resolved in ONE combined dedup — round 1 shuffled event content
+        # twice (batch-winners shuffle, then live∪winners shuffle); now the
+        # union is the only wire crossing (plan gate:
+        # tests/test_plan_shapes.py::test_cow_merge_plan_has_single_exchange).
         live = table.scan(spark, buckets=affected, include_system=True).withColumn(
             "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
         )
         live_rows: dict[int, int] = {}
-        for fmeta in table.manifest(expected_parent)["files"]:
+        for fmeta in parent_manifest["files"]:
             if fmeta["bucket"] in affected:
                 live_rows[fmeta["bucket"]] = (
                     live_rows.get(fmeta["bucket"], 0) + fmeta.get("rows", 0)
@@ -288,27 +293,59 @@ def apply_batch(
         cow_rows = {
             b: bucket_rows.get(b, 0) + live_rows.get(b, 0) for b in affected
         }
+        # live rows carry their stored _n_src_events; raw events count 1 each
+        incoming_cow = incoming_raw.withColumn(
+            "_n_src_events", F.lit(1).cast("long")
+        )
         merged, _n_cow_pids = plan_partition_ids(
-            live.unionByName(incoming),
+            live.unionByName(incoming_cow),
             cow_rows,
             4 * target_parts,
             path_col=key_names[1],
         )
         merged = merged.repartition(target_parts, F.col("__pid"))
-        new_data = lww_dedup(
-            merged,
-            key=["__pid", "__bucket"] + key_names,
-            strategy=dedup_strategy if dedup_strategy != "semijoin" else "argmax",
-            order=["_commit_seq", "_offset"],
-        ).drop("__pid")
+        new_data = _fill_sha(
+            lww_dedup(
+                merged,
+                key=["__pid", "__bucket"] + key_names,
+                strategy=dedup_strategy_eff,
+                order=["_commit_seq", "_offset"],
+            ).drop("__pid")
+        )
     elif merge_mode == "mor":
         # Merge-on-read: append this batch's winners as per-bucket delta
         # files — write cost O(batch), never O(table).  Readers (scan) and
         # the compactor resolve the LWW arg-max across generations; the
         # answer is identical to CoW because (commit_seq, offset) is a total
         # order.  This is the 10^10-events/day ingest path; compact()
-        # restores read-optimal layout asynchronously.
-        new_data = incoming
+        # restores read-optimal layout asynchronously.  The argmax path
+        # folds the per-key pre-dedup event count into the same
+        # HashAggregate (``_n_src_events``), which the post-write stats
+        # read back.
+        src_events, _n_pids = plan_partition_ids(
+            incoming_raw, bucket_rows, 4 * target_parts, path_col=key_names[1]
+        )
+        src_events = src_events.repartition(target_parts, F.col("__pid"))
+        dedup_key = ["__pid", "__bucket"] + key_names
+        if dedup_strategy == "argmax":
+            winners = lww_dedup_argmax(
+                src_events,
+                key=dedup_key,
+                order=["_commit_seq", "_offset"],
+                count_col="_n_src_events",
+            ).drop("__pid")
+        else:
+            winners = (
+                lww_dedup(
+                    src_events,
+                    key=dedup_key,
+                    strategy=dedup_strategy,
+                    order=["_commit_seq", "_offset"],
+                )
+                .drop("__pid")
+                .withColumn("_n_src_events", F.lit(None).cast("long"))
+            )
+        new_data = _fill_sha(winners)
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 

@@ -177,13 +177,76 @@ class LakeTable:
     def last_committed_offset(self) -> int:
         return self.manifest()["offsets"]["hi"]
 
+    # -- batch-id index (amortized O(1) idempotence lookups) -------------------
+    #
+    # Round 1 walked every manifest per lookup — O(snapshots) driver-side
+    # JSON reads, called ≥2× per commit → O(N²) over a long ingest.  The
+    # index is derivable state: one tiny marker file per batch_id (named by
+    # its sha256, since batch ids are arbitrary strings) plus an
+    # ``indexed_through`` high-water mark S guaranteeing every snapshot ≤ S
+    # has its marker.  Lookups hit the marker directly; only the (S, cur]
+    # suffix of manifests — normally 0 or 1 — is ever walked, and walking it
+    # REPAIRS the index (markers re-derived from manifests), so a crash
+    # between manifest publish and marker write loses nothing.
+
+    def _batch_marker_path(self, batch_id: str) -> str:
+        import hashlib
+
+        h = hashlib.sha256(batch_id.encode()).hexdigest()[:32]
+        return os.path.join(self._manifest_dir, "batch-index", f"{h}.json")
+
+    def _write_batch_marker(self, batch_id: str, snapshot_id: int) -> None:
+        """Create-if-absent marker (idempotent; racers write identical
+        content, so EEXIST is success)."""
+        final = self._batch_marker_path(batch_id)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "snapshot_id": snapshot_id}, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+
+    def _indexed_through(self) -> int:
+        p = os.path.join(self._manifest_dir, "indexed_through.json")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(json.load(f)["snapshot_id"])
+
+    def _advance_indexed_through(self, snapshot_id: int) -> None:
+        """Monotone atomic advance (a lost race just re-indexes a suffix)."""
+        if snapshot_id <= self._indexed_through():
+            return
+        p = os.path.join(self._manifest_dir, "indexed_through.json")
+        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snapshot_id}, f)
+        os.replace(tmp, p)
+
     def batch_committed(self, batch_id: str) -> int | None:
-        """Snapshot id that committed ``batch_id``, or None."""
-        for sid in range(self.current_snapshot_id(), -1, -1):
-            m = self.manifest(sid)
-            if m["batch_id"] == batch_id:
-                return sid
-        return None
+        """Snapshot id that committed ``batch_id``, or None.
+
+        Amortized O(1): marker hit, else index the un-walked manifest suffix
+        (only snapshots published since the last call) and re-check."""
+        marker = self._batch_marker_path(batch_id)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                rec = json.load(f)
+            if rec["batch_id"] == batch_id:  # guards the truncated-hash name
+                return int(rec["snapshot_id"])
+        found: int | None = None
+        cur = self.current_snapshot_id()
+        for sid in range(cur, self._indexed_through(), -1):
+            bid = self.manifest(sid)["batch_id"]
+            self._write_batch_marker(bid, sid)
+            if bid == batch_id:
+                found = sid
+        self._advance_indexed_through(cur)
+        return found
 
     # -- scan (S7) ------------------------------------------------------------
 
@@ -323,6 +386,13 @@ class LakeTable:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._publish(manifest)
+        # index eagerly (fast path); a crash before this line is repaired by
+        # the next batch_committed suffix walk.  Advancing the high-water
+        # mark is sound: the idempotence probe above indexed everything
+        # through expected_parent, and winning the CAS publish means no
+        # other snapshot appeared in between.
+        self._write_batch_marker(batch_id, manifest["snapshot_id"])
+        self._advance_indexed_through(manifest["snapshot_id"])
         return manifest["snapshot_id"]
 
     def _publish(self, manifest: dict) -> None:

@@ -63,6 +63,38 @@ def test_merge_write_plan_has_single_exchange(spark, log_dir):
     assert n_exchanges == 1, plan
 
 
+def test_cow_merge_plan_has_single_exchange(spark, log_dir, tmp_path):
+    """CoW reshape gate: raw events + live rows resolve in ONE combined
+    stats-planned shuffle — round 1 moved event content through two
+    (batch-winners shuffle, then live∪winners shuffle)."""
+    from glad_tiles_pipeline_spark.operators import merge as merge_mod
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    table = LakeTable.create(str(tmp_path / "lake"), n_buckets=8)
+    events = read_changelog_batch(spark, log_dir, None, None)
+    captured: list = []
+    orig_parquet = DataFrameWriter.parquet
+
+    def spy_parquet(self, *a, **k):
+        captured.append(self._df)
+        return orig_parquet(self, *a, **k)
+
+    DataFrameWriter.parquet = spy_parquet
+    try:
+        merge_mod.apply_batch(
+            spark, table, events, "b-plan", offsets={"lo": 0, "hi": 10**9},
+            merge_mode="cow",
+        )
+    finally:
+        DataFrameWriter.parquet = orig_parquet
+    assert captured, "apply_batch wrote nothing"
+    plan = _plan(captured[0])
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 1, plan
+
+
 def test_flagship_uses_broadcast_join(spark):
     plan = _plan(QUERIES["flagship_cdc_enrich"](spark, SF))
     assert "BroadcastHashJoin" in plan
