@@ -207,17 +207,15 @@ def apply_batch(
 
     # -- 3. project raw events → current table schema + system columns,
     #       BEFORE any dedup.  Pure per-row column expressions (codegen):
-    #       field-id projection, delete null-out, lang normalization
-    #       (Arrow-vectorized per the input_hint; JVM twin opt-in).
-    #       sha256 is DEFERRED to post-dedup so it runs on winners only —
-    #       at 10^10 events this is the difference between hashing every
-    #       event and hashing every surviving key.  Deletes become tombstone
-    #       rows (payload NULL, _deleted=true): the table must remember a
-    #       winning delete's commit order, or a still-older event arriving
-    #       in a later batch would resurrect the key.
-    lang_norm = (
-        normalize_lang(F.col("lang")) if use_arrow_udfs else normalize_lang_expr("lang")
-    )
+    #       field-id projection, delete null-out.  The EXPENSIVE derivations
+    #       — sha256 and lang normalization — are DEFERRED to post-dedup so
+    #       they run on winners only: at 10^10 events this is the difference
+    #       between hashing every event and hashing every surviving key (and
+    #       for the Arrow UDF, between shipping every event or only winners
+    #       across the Python exchange).  Deletes become tombstone rows
+    #       (payload NULL, _deleted=true): the table must remember a winning
+    #       delete's commit order, or a still-older event arriving in a
+    #       later batch would resurrect the key.
     is_del = F.col("op") == "D"
     proj = []
     for f in fields:
@@ -226,11 +224,6 @@ def apply_batch(
             proj.append(F.col("repo").cast(f["type"]).alias(f["name"]))
         elif f["id"] == 2:
             proj.append(F.col("path").cast(f["type"]).alias(f["name"]))
-        elif src == "lang" and src in data_events.columns:
-            proj.append(
-                F.when(is_del, F.lit(None)).otherwise(lang_norm)
-                .cast(f["type"]).alias(f["name"])
-            )
         elif src is not None and src in data_events.columns:
             expr = F.when(is_del, F.lit(None)).otherwise(F.col(src))
             proj.append(expr.cast(f["type"]).alias(f["name"]))
@@ -246,24 +239,38 @@ def apply_batch(
         F.col("__bucket"),
     )
 
-    # locate the content → content_sha pair through any renames (stable
-    # sources); the invariant column is filled post-dedup via coalesce, so
-    # live CoW rows keep their stored sha and only event winners are hashed
+    # locate the derived fields through any renames (stable sources).
+    # content_sha is filled post-dedup via coalesce, so live CoW rows keep
+    # their stored sha and only event winners are hashed; lang is
+    # re-normalized post-dedup — normalize is idempotent (canonical values
+    # map to themselves; tests/test_functions.py asserts it), so already-
+    # normalized live rows pass through unchanged.
     sha_field = next((f for f in fields if f.get("source") == "content_sha"), None)
     content_field = next((f for f in fields if f.get("source") == "content"), None)
+    lang_field = next((f for f in fields if f.get("source") == "lang"), None)
 
-    def _fill_sha(df: DataFrame) -> DataFrame:
-        if sha_field is None or content_field is None:
-            return df
-        return df.withColumn(
-            sha_field["name"],
-            F.coalesce(
-                F.col(sha_field["name"]),
-                F.when(
-                    ~F.col("_deleted"), F.sha2(F.col(content_field["name"]), 256)
+    def _finalize_winners(df: DataFrame) -> DataFrame:
+        if lang_field is not None:
+            lang_norm = (
+                normalize_lang(F.col(lang_field["name"]))
+                if use_arrow_udfs
+                else normalize_lang_expr(lang_field["name"])
+            )
+            df = df.withColumn(
+                lang_field["name"],
+                F.when(~F.col("_deleted"), lang_norm).cast(lang_field["type"]),
+            )
+        if sha_field is not None and content_field is not None:
+            df = df.withColumn(
+                sha_field["name"],
+                F.coalesce(
+                    F.col(sha_field["name"]),
+                    F.when(
+                        ~F.col("_deleted"), F.sha2(F.col(content_field["name"]), 256)
+                    ),
                 ),
-            ),
-        )
+            )
+        return df
 
     # -- 4. bucket-pruned LWW merge.  Both modes move full-width content
     #       through exactly ONE stats-planned shuffle (plan_partition_ids):
@@ -304,7 +311,7 @@ def apply_batch(
             path_col=key_names[1],
         )
         merged = merged.repartition(target_parts, F.col("__pid"))
-        new_data = _fill_sha(
+        new_data = _finalize_winners(
             lww_dedup(
                 merged,
                 key=["__pid", "__bucket"] + key_names,
@@ -345,7 +352,7 @@ def apply_batch(
                 .drop("__pid")
                 .withColumn("_n_src_events", F.lit(None).cast("long"))
             )
-        new_data = _fill_sha(winners)
+        new_data = _finalize_winners(winners)
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 

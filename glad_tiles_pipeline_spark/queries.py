@@ -683,11 +683,14 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """16 minhashes / 8 bands of 2: pair-recall at jaccard 0.5 measured 1.0
-    on the fixtures (tests/test_similarity_recall.py asserts the floor);
-    the round-1 4-band config measured 0.96 — banding is the recall knob."""
+    """24 minhashes / 8 bands of 3: the (r=3, b=8) S-curve threshold
+    (1/b)^(1/r) = 0.5 matches the query threshold exactly — near-certain
+    recall above it (pairs at j=0.9 miss with p ≈ 3e-5) and steeply decaying
+    candidate volume below it.  Pair recall measured 1.0 on the fixtures
+    (tests/test_similarity_recall.py asserts the floor); the round-1
+    (r=4, b=4) config measured 0.96 — banding is the recall knob."""
     return minhash_neardup(
-        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=16, n_bands=8
+        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=24, n_bands=8
     )
 
 

@@ -36,6 +36,30 @@ def test_lang_normalizer_consistency(spark):
     assert out == ["python", "python", "python", "go", "javascript", "cpp", "weird"]
 
 
+def test_lang_normalizer_idempotent():
+    """normalize(normalize(x)) == normalize(x) — the merge path relies on
+    this to re-normalize post-dedup without corrupting already-normalized
+    live rows (operators/merge.py _finalize_winners)."""
+    s = pd.Series(
+        ["Python", " py ", "golang", "JS", "C++", "weird", None, "rust", "rs"]
+    )
+    once = normalize_lang_series(s)
+    twice = normalize_lang_series(once)
+    assert once.fillna("∅").tolist() == twice.fillna("∅").tolist()
+
+
+def test_lang_normalizer_iter_matches_scalar(spark):
+    """V2 ≡ V1: the iterator pandas UDF returns exactly the scalar UDF's
+    answer (amortized init must not change semantics)."""
+    from glad_tiles_pipeline_spark.functions.text import normalize_lang_iter
+
+    df = change_log(spark, 2000)
+    mism = df.filter(
+        normalize_lang_iter(F.col("lang")) != normalize_lang(F.col("lang"))
+    ).count()
+    assert mism == 0
+
+
 def test_lang_normalizer_sql_twin(spark):
     import duckdb
 

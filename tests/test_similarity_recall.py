@@ -63,7 +63,7 @@ def test_minhash_pair_recall(docs):
     found = {
         (r.id_a, r.id_b)
         for r in minhash_neardup(
-            docs, threshold=0.5, n_hashes=16, n_bands=8
+            docs, threshold=0.5, n_hashes=24, n_bands=8
         ).collect()
     }
     recall = len(found & exact) / len(exact)
