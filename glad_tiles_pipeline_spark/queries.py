@@ -730,6 +730,16 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_stub_features(to_media_table(docs))
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling: explode each payload into 4 byte-range
+    'frames' (the fan-out shape real frame extraction takes); stub slices
+    are deterministic so DuckDB reproduces them exactly."""
+    from glad_tiles_pipeline_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample(to_media_table(docs), n_frames=4)
+
+
 # ===========================================================================
 # DuckDB oracle SQL — one entry per query above (SURVEY.md §5.1).  Keys with
 # no oracle (xxhash64-based LSH internals) get the driver's rows-only check.
@@ -1041,6 +1051,12 @@ ORACLES: dict[str, str] = {
                CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS INTEGER) AS fake_height,
                octet_length(encode(text)) * 2654435761 % 1000003 AS checksum_mod
         FROM documents""",
+    "multimodal_frame_sample": """
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               substr(text,
+                      CAST(floor(i * (octet_length(encode(text)) / 4.0)) AS INT) + 1,
+                      16) AS frame_bytes
+        FROM documents, range(0, 4) r(i)""",
     # no oracle (xxhash64-seeded internals are Spark-specific → rows-only):
     #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
 }
@@ -1097,4 +1113,5 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "multimodal_decode_stub": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frames,
 }
