@@ -39,6 +39,20 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Repartition ahead of compute-heavy per-row work (shingling, K-hash
+    signatures).  A text corpus compresses ~10× in parquet, so scan splits
+    sized for IO leave the CPU-bound explode running on a handful of tasks
+    (measured: the sf0.1 documents table is ONE split — the whole minhash
+    signature stage ran on 1 of 32 cores).  The shuffled payload is the raw
+    rows (cheap relative to the downstream expansion); skip when the input
+    is already wide enough."""
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
+
+
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized text: one row per distinct content, keeping
     the smallest id; reports group size.  sha256 fingerprint (not xxhash64)
@@ -60,7 +74,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """K independent minhashes per doc: explode distinct shingles once,
     aggregate K mins in one pass (map-side combine → skew-immune)."""
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     aggs = [
@@ -123,7 +137,7 @@ def jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate (id_a, id_b) pairs."""
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh")
     )
     out = (
@@ -247,7 +261,7 @@ def simhash_neardup(
     (id, sig, band, band_bits) — slim columns only."""
     n_bands = max_hamming + 1
     width = (32 + n_bands - 1) // n_bands  # ceil: bands cover all 32 bits
-    sigs = docs.select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    sigs = fan_out(docs).select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
