@@ -125,6 +125,9 @@ def test_minhash_self_join_reuses_exchange(spark):
     """The LSH band self-join's two sides share the identical shingle-
     explode + K-min aggregate subtree; Spark must serve both from ONE
     execution via ReusedExchange (replaces round 1's leaked persist())."""
+    # a docs relation cached by another test module would swap the scan for
+    # InMemoryTableScan and change the reuse shape — gate the uncached plan
+    spark.catalog.clearCache()
     df = QUERIES["dedup_minhash_lsh"](spark, SF)
     df.collect()  # AQE finalizes reuse at execution
     plan = _plan(df)
