@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from glad_tiles_pipeline_spark.operators.docs import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,7 +60,7 @@ def ann_bruteforce_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__cv")
     )
     scored = (
@@ -75,24 +77,43 @@ def ann_bruteforce_topk(
     )
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_h).
+def _plane(dim: int, h: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane.  Derived from sha256 of
+    (seed, plane, component) — identical on every executor and across
+    engines, nothing broadcast."""
+    import hashlib
 
-    Planes are deterministic pseudo-random ±1 vectors derived from
-    xxhash64(seed, h, i) — identical on any executor, nothing broadcast.
-    """
+    out = []
+    for i in range(dim):
+        d = hashlib.sha256(f"{seed}:{h}:{i}".encode()).digest()
+        out.append(1.0 if d[0] & 1 else -1.0)
+    return out
+
+
+def _planes_matrix(dim: int, n_planes: int, seed: int):
+    """(dim, n_planes) ±1 matrix; cached per process."""
+    import numpy as np
+
+    key = (dim, n_planes, seed)
+    cache = _planes_matrix.__dict__.setdefault("_cache", {})
+    if key not in cache:
+        cache[key] = np.array(
+            [_plane(dim, h, seed) for h in range(n_planes)], dtype=np.float64
+        ).T
+    return cache[key]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
+    """Single-probe LSH bucket id (sign bits of dot(vec, plane_h)) as a pure
+    column expression — fine for a handful of planes.  The banded/multi-
+    plane paths use ``banded_buckets_udf`` instead: per-row higher-order
+    aggregates don't amortize at 32 planes (and 64×32 literal-array nodes
+    blow past whole-stage codegen limits — measured slower, not faster)."""
     bits = []
     for h in range(n_planes):
-        # plane component i ∈ {-1, +1} from hash parity
+        plane = F.array(*[F.lit(c) for c in _plane(dim, h, seed)])
         dot_h = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, i: v
-                * (F.pmod(F.xxhash64(F.lit(seed), F.lit(h), i), F.lit(2)) * 2 - 1).cast(
-                    "double"
-                ),
-            ),
+            F.zip_with(vec, plane, lambda v, p: v * p),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -101,6 +122,36 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Col
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def banded_buckets_udf(dim: int, n_bands: int, rows_per_band: int, seed: int):
+    """Arrow-vectorized bucket computation: ONE numpy matmul per batch —
+    (batch, dim) @ (dim, n_bands·rows_per_band) — then sign-bit packing per
+    band.  Returns a pandas UDF mapping array<double> → array<bigint> of
+    length n_bands (bucket id per band).  This is exactly the 'vectorized
+    Pandas UDF for embedding math' pattern: the JVM expression twin
+    (``lsh_bucket``) re-evaluates per-row lambda aggregates and measured
+    ~10× slower at 32 planes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    total = n_bands * rows_per_band
+
+    def _buckets(s):  # pd.Series[array<double>] -> pd.Series[array<bigint>]
+        # (annotations omitted: `from __future__ import annotations` would
+        # stringify them and pandas_udf cannot resolve locals; the explicit
+        # returnType below pins the scalar-UDF signature)
+        M = _planes_matrix(dim, total, seed)  # cached per worker
+        X = np.array(s.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (X @ M) >= 0  # (batch, total)
+        out = np.zeros((signs.shape[0], n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for j in range(rows_per_band):
+                out[:, b] |= signs[:, b * rows_per_band + j].astype(np.int64) << j
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_buckets, returnType=ArrayType(LongType()))
 
 
 def _banded_buckets(
@@ -115,23 +166,12 @@ def _banded_buckets(
     vec_out: str,
 ) -> DataFrame:
     """(id, vec, band, bucket) — one slim row per (vector, band)."""
-    vecs = vec_df.select(
+    vecs = fan_out(vec_df).select(
         F.col(id_col).alias(out_id), as_double(vec_col).alias(vec_out)
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            lsh_bucket(
-                F.col(vec_out), dim, n_planes=rows_per_band, seed=seed + b
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
+    buckets = banded_buckets_udf(dim, n_bands, rows_per_band, seed)
     return vecs.select(
-        out_id, vec_out, F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        out_id, vec_out,
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        out_id, vec_out, F.posexplode(buckets(F.col(vec_out))).alias("band", "bucket")
     )
 
 
@@ -168,13 +208,28 @@ def ann_lsh_topk(
         queries, "query_id", dim, n_bands, rows_per_band, seed, id_col, vec_col,
         "__qv",
     )
-    cand = (
-        c.join(F.broadcast(q), ["band", "bucket"])
+    # candidate dedup moves ONLY the id pair (16 B/row) — vectors are
+    # re-joined afterwards (corpus shuffle of N slim rows + broadcast of the
+    # small query side), not dragged through the multi-band explode/dedup
+    cand_ids = (
+        c.select("neighbor_id", "band", "bucket")
+        .join(F.broadcast(q.select("query_id", "band", "bucket")),
+              ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+    cvecs = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
+    )
+    scored = (
+        cand_ids.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -199,20 +254,10 @@ def lsh_banded_pairs(
     explode (n_bands slim rows per vector: id + two ints) and one shuffled
     equi-join.  P(pair missed) = (1 - p^r)^B with p = 1 - θ/π — at
     near-dup thresholds each extra band multiplies the miss rate by <0.6."""
-    vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            lsh_bucket(
-                F.col("__v"), dim, n_planes=rows_per_band, seed=seed + b
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
+    vecs = fan_out(corpus).select(F.col(id_col), as_double(vec_col).alias("__v"))
+    buckets = banded_buckets_udf(dim, n_bands, rows_per_band, seed)
     banded = vecs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.col(id_col), F.posexplode(buckets(F.col("__v"))).alias("band", "bucket")
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -265,7 +310,9 @@ def embedding_neardup_exact(
 ) -> DataFrame:
     """Exact all-pairs O(N²) twin — ground truth for the recall harness and
     small corpora only; the scale path is ``embedding_neardup``."""
-    a = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("__va"))
+    a = fan_out(corpus).select(
+        F.col(id_col).alias("id_a"), as_double(vec_col).alias("__va")
+    )
     b = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("__vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
