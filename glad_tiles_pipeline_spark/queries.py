@@ -563,6 +563,18 @@ def q_stream_tumbling(spark, sf_dir):
     )
 
 
+def q_stream_sliding(spark, sf_dir):
+    """T2 (sliding): 2-hour windows sliding by 1 hour — every event lands in
+    exactly two windows.  Batch twin of the streaming aggregate; the oracle
+    reproduces the window assignment with an explicit 2-way fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
 def q_session_windows(spark, sf_dir):
     """T3: per-user session windows (30-min inactivity gap).  Session start
     is the min event ts in the session — the oracle reproduces it with a
@@ -1005,6 +1017,14 @@ ORACLES: dict[str, str] = {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
                count(*) AS n
         FROM events GROUP BY 1, 2""",
+    "stream_sliding_counts": """
+        -- each event belongs to the two 2h windows starting at
+        -- bucket(ts)-1h and bucket(ts): fan out explicitly
+        SELECT time_bucket(INTERVAL '1 hour', ts)
+                 - CAST(k AS INT) * INTERVAL '1 hour' AS win_start,
+               event_type, count(*) AS n
+        FROM events, range(0, 2) r(k)
+        GROUP BY 1, 2""",
     "stream_session_windows": """
         WITH gaps AS (
             SELECT user_id, ts,
@@ -1098,6 +1118,7 @@ QUERIES = {
     "fn_sha256_docs": q_fn_sha,
     "fn_lang_normalize": q_fn_lang_norm,
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_sliding_counts": q_stream_sliding,
     "stream_session_windows": q_session_windows,
     "agg_grouped_pandas": q_grouped_pandas_agg,
     "source_csv_roundtrip": q_csv_roundtrip,
