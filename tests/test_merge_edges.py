@@ -14,6 +14,33 @@ from glad_tiles_pipeline_spark.sources.changelog import CHANGE_SCHEMA
 from glad_tiles_pipeline_spark.sources.generator import change_log
 
 
+def test_compact_conflict_does_not_kill_ingest(spark, tmp_path, monkeypatch):
+    """A compaction-time CommitConflict (concurrent writer won the race) is
+    an optimization failure, not an ingest failure: the loop must continue
+    and retry compaction at the next interval (ADVICE round 1)."""
+    from glad_tiles_pipeline_spark.plans import planner as planner_mod
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict, LakeTable
+    from glad_tiles_pipeline_spark.sources.generator import change_log
+
+    log_dir = str(tmp_path / "log")
+    change_log(spark, 2000).write.parquet(log_dir)
+    table = LakeTable.create(str(tmp_path / "lake"), n_buckets=4)
+
+    calls = {"n": 0}
+
+    def conflicting_compact(*a, **k):
+        calls["n"] += 1
+        raise CommitConflict("simulated concurrent-writer race")
+
+    monkeypatch.setattr(planner_mod, "compact", conflicting_compact)
+    results = planner_mod.ingest_changelog(
+        spark, table, log_dir, batch_size=500, merge_mode="mor", compact_every=1
+    )
+    assert len(results) == 4  # every batch applied despite 4 failed compacts
+    assert calls["n"] == 4
+    assert table.last_committed_offset() == 1999
+
+
 def test_empty_batch_commits_cleanly(spark, tmp_path):
     for mode in ("cow", "mor"):
         table = LakeTable.create(str(tmp_path / f"t_{mode}"), n_buckets=4)
