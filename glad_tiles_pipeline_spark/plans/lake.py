@@ -415,6 +415,105 @@ class LakeTable:
         finally:
             os.unlink(tmp)
 
+    # -- table history / incremental reads ------------------------------------
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg `table.history()` /
+        Delta `DESCRIBE HISTORY` parity): one row per snapshot with commit
+        metadata and headline metrics.  Driver-side manifest walk — O(number
+        of snapshots), tiny JSON each, never touches data files."""
+        rows = []
+        for sid in range(0, self.current_snapshot_id() + 1):
+            m = self.manifest(sid)
+            rows.append(
+                {
+                    "snapshot_id": sid,
+                    "parent_snapshot_id": m["parent_snapshot_id"],
+                    "batch_id": m["batch_id"],
+                    "committed_at": m["committed_at"],
+                    "schema_version": m["schema_version"],
+                    "offset_hi": m["offsets"]["hi"],
+                    "n_files": len(m["files"]),
+                    "merge_mode": (m.get("metrics") or {}).get("merge_mode"),
+                    "events_read": (m.get("metrics") or {}).get("events_read"),
+                    "winners": (m.get("metrics") or {}).get("winners"),
+                }
+            )
+        schema = (
+            "snapshot_id int, parent_snapshot_id int, batch_id string, "
+            "committed_at string, schema_version int, offset_hi long, "
+            "n_files int, merge_mode string, events_read long, winners long"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    def incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """CDC-OUT: the row-level changes committed in ``(from_snapshot,
+        to_snapshot]`` — the engine's own change feed (Iceberg incremental
+        scan / Delta CDF parity), letting a downstream pipeline tail THIS
+        table the same way this engine tails its upstream log.
+
+        Rows come from the data files ADDED in the window, LWW-resolved per
+        key within the window by (_commit_seq, _offset) — i.e. one row per
+        key reflecting the key's newest change in the window; deletes
+        surface with ``_deleted = true``.  Reads only the window's files
+        plus two manifests: cost is O(changes), never O(table).  (A CoW
+        rewrite copies surviving rows into new files, so for exact
+        semantics the window must not span a CoW/compaction commit; those
+        commits rewrite — not change — data.  The mor ingest path, where a
+        change feed matters, appends pure delta files.)"""
+        if to_snapshot is None:
+            to_snapshot = self.current_snapshot_id()
+        if from_snapshot < self.vacuum_horizon():
+            raise ValueError(
+                f"from_snapshot {from_snapshot} is below the vacuum horizon"
+            )
+        base = {f["path"] for f in self.manifest(from_snapshot)["files"]}
+        target = self.manifest(to_snapshot)
+        added = [f for f in target["files"] if f["path"] not in base]
+        cur_fields = target["schemas"][str(target["schema_version"])]
+        key_names = [f["name"] for f in cur_fields if f["id"] in (1, 2)]
+        out_schema = T.StructType(
+            [T.StructField(f["name"], _spark_type(f["type"])) for f in cur_fields]
+            + list(SYSTEM_FIELDS.fields)
+        )
+        if not added:
+            return spark.createDataFrame([], out_schema)
+        by_version: dict[str, list[str]] = {}
+        for f in added:
+            by_version.setdefault(str(f["schema_version"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts: list[DataFrame] = []
+        for ver, paths in by_version.items():
+            old_by_id = {f["id"]: f for f in target["schemas"][ver]}
+            df = spark.read.parquet(*paths)
+            proj = []
+            for f in cur_fields:
+                old = old_by_id.get(f["id"])
+                if old is None:
+                    proj.append(
+                        F.lit(None).cast(_spark_type(f["type"])).alias(f["name"])
+                    )
+                else:
+                    proj.append(
+                        F.col(old["name"]).cast(_spark_type(f["type"])).alias(f["name"])
+                    )
+            proj += [F.col(sf.name) for sf in SYSTEM_FIELDS.fields]
+            parts.append(df.select(*proj))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
+
+        return lww_dedup(
+            out, key=key_names, strategy="argmax", order=["_commit_seq", "_offset"]
+        )
+
     # -- retention / GC --------------------------------------------------------
 
     def vacuum(
