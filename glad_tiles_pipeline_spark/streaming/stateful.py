@@ -94,3 +94,81 @@ def repo_activity_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 twin: transformWithStateInPandas.  Same telemetry, the successor
+# API — typed state handles (ValueState/ListState/MapState), timers, TTL —
+# instead of one opaque state tuple.  Requires the RocksDB state store
+# provider (see repo_activity_state_tws).  Kept alongside the
+# applyInPandasWithState form so both §2.9 T5 surfaces stay exercised.
+# ---------------------------------------------------------------------------
+
+def _make_repo_activity_processor():
+    """Factory (deferred import: StatefulProcessor only exists on Spark 4)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RepoActivityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "activity",
+                "total_events long, max_commit_seq long, batches_seen long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (repo,) = key
+            batch_events = 0
+            batch_max_seq = -1
+            for pdf in rows:
+                batch_events += len(pdf)
+                if len(pdf):
+                    batch_max_seq = max(
+                        batch_max_seq, int(pdf["commit_seq"].max())
+                    )
+            if self._state.exists():
+                total, max_seq, batches = self._state.get()
+            else:
+                total, max_seq, batches = 0, -1, 0
+            total += batch_events
+            max_seq = max(max_seq, batch_max_seq)
+            batches += 1
+            self._state.update((total, max_seq, batches))
+            yield pd.DataFrame(
+                [
+                    {
+                        "repo": repo,
+                        "total_events": total,
+                        "batch_events": batch_events,
+                        "max_commit_seq": max_seq,
+                        "batches_seen": batches,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RepoActivityProcessor()
+
+
+def repo_activity_state_tws(events: DataFrame) -> DataFrame:
+    """T5 on the Spark 4 ``transformWithStateInPandas`` surface — same
+    answer as ``repo_activity_state`` (tests assert equality batch by
+    batch).  The stream's session must run the RocksDB state store:
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    """
+    return (
+        events.select("repo", "commit_seq")
+        .groupBy("repo")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_repo_activity_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -160,6 +160,56 @@ def test_stateful_repo_activity(spark, tmp_path, log_dir):
     assert last.exceptAll(truth).count() == 0 and truth.exceptAll(last).count() == 0
 
 
+def test_stateful_repo_activity_transform_with_state(spark, tmp_path, log_dir):
+    """T5 on the Spark 4 transformWithStateInPandas surface: same final
+    telemetry as the applyInPandasWithState form and the batch truth.
+    Needs the RocksDB state store provider (restored after the test) and
+    the protobuf runtime (transformWithState's state-server protocol —
+    not installed in this sandbox, so the test skips there; the operator
+    itself is plain PySpark and runs wherever protobuf exists)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from glad_tiles_pipeline_spark.streaming.stateful import repo_activity_state_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_changelog_stream(spark, log_dir, max_files_per_trigger=2)
+        q = (
+            repo_activity_state_tws(stream)
+            .writeStream.format("memory")
+            .queryName("repo_state_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    updates = spark.table("repo_state_tws")
+    assert updates.groupBy("repo").count().agg(F.max("count")).collect()[0][0] > 1
+    last = (
+        updates.groupBy("repo")
+        .agg(F.max(F.struct("batches_seen", "total_events", "max_commit_seq")).alias("w"))
+        .select("repo", F.col("w.total_events").alias("total_events"),
+                F.col("w.max_commit_seq").alias("max_commit_seq"))
+    )
+    truth = (
+        spark.read.parquet(log_dir)
+        .groupBy("repo")
+        .agg(F.count("*").alias("total_events"),
+             F.max("commit_seq").alias("max_commit_seq"))
+    )
+    assert last.exceptAll(truth).count() == 0 and truth.exceptAll(last).count() == 0
+
+
 def test_checkpoint_reset_does_not_lose_data(spark, tmp_path, log_dir):
     """Regression: with epoch-based batch ids, a lost/reset checkpoint made
     Spark re-deliver everything as batch 0, which matched an old committed
