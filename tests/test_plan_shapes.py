@@ -146,6 +146,46 @@ def test_neardup_plans_have_no_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Spark-native bucketing (§4: 'bucketing for co-located joins'): two
+    tables bucketed+sorted on the join key must sort-merge join with ZERO
+    Exchange — the co-location contract a 100 TB fact-fact join relies on.
+    (The lake table implements its own bucketing; this gates the catalog
+    variant for plain warehouse tables.  Uses the session's default
+    spark-warehouse dir — gitignored — since warehouse.dir is static.)"""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("orders_b"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("lineitem_b"))
+    try:
+        j = (
+            spark.table("lineitem_b")
+            .hint("MERGE")  # force SMJ (tables are tiny enough to broadcast)
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()  # finalize AQE
+        plan = _plan(j)
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, plan
+        # and the answer matches the unbucketed join
+        plain = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        )
+        assert j.exceptAll(plain).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_lww_argmax_has_partial_aggregation(spark):
     """Skew immunity: the argmax dedup must plan partial (map-side)
     aggregation before the shuffle."""
