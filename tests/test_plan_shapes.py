@@ -146,6 +146,47 @@ def test_neardup_plans_have_no_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """§4.1 evidence: AQE's skew-join really fires — a join keyed on one
+    hot value (10⁵ rows on a single key next to 1-row keys) must show
+    skew-split sort-merge partitions in the final adaptive plan.  The skew
+    thresholds are lowered to test scale and restored after."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key must be DATA-DERIVED: a literal key constant-folds the
+        # join into a cartesian+filter and no shuffle exists to split.
+        left = spark.range(110_000).select(
+            F.when(F.col("id") < 100_000, F.lit(7))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(60).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        # terminal join (no downstream agg: AQE declines to skew-split when
+        # a downstream operator would need the join's hash partitioning)
+        j = left.join(right.hint("MERGE"), "k")
+        assert len(j.collect()) == 110_000  # finalize the adaptive plan
+        plan = _plan(j)
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Spark-native bucketing (§4: 'bucketing for co-located joins'): two
     tables bucketed+sorted on the join key must sort-merge join with ZERO
