@@ -357,6 +357,25 @@ def q_join_range(spark, sf_dir):
     )
 
 
+def q_join_range_binned(spark, sf_dir):
+    """J8 at scale: the same range join as join_range_value_buckets, planned
+    as a bin equi-join (operators/rangejoin.py) instead of a broadcast
+    nested loop — identical answer, shuffle-join plan (gated: no BNL)."""
+    from glad_tiles_pipeline_spark.operators.rangejoin import binned_range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    reg = _t(spark, sf_dir, "region").select(
+        "r_name",
+        (F.col("r_regionkey") * 50).cast("double").alias("lo"),
+        ((F.col("r_regionkey") + 1) * 50).cast("double").alias("hi"),
+    )
+    return (
+        binned_range_join(ev, reg, "value", "lo", "hi", bin_width=25.0)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def q_join_asof(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _t(spark, sf_dir, "orders").select(
@@ -922,6 +941,11 @@ ORACLES: dict[str, str] = {
         FROM events e JOIN region r
           ON e.value >= r.r_regionkey * 50 AND e.value < (r.r_regionkey + 1) * 50
         GROUP BY r.r_name""",
+    "join_range_binned": """
+        SELECT r.r_name, count(*) AS n_events
+        FROM events e JOIN region r
+          ON e.value >= r.r_regionkey * 50 AND e.value < (r.r_regionkey + 1) * 50
+        GROUP BY r.r_name""",
     "join_asof_latest_order": """
         SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
         FROM events e LEFT JOIN orders o
@@ -1099,6 +1123,7 @@ QUERIES = {
     "join_anti_without_orders": q_join_anti,
     "join_outer_order_histogram": q_join_outer_histogram,
     "join_range_value_buckets": q_join_range,
+    "join_range_binned": q_join_range_binned,
     "join_asof_latest_order": q_join_asof,
     "join_skew_salted": q_join_salted,
     "join_shuffle_hash": q_join_shuffle_hash,

@@ -146,6 +146,36 @@ def test_neardup_plans_have_no_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_binned_range_join_plans_equi_join(spark):
+    """J8 scale path: the binned range join must plan as a shuffled
+    equi-join on the bin — never BroadcastNestedLoop/Cartesian — and agree
+    with the theta-join answer (including the left-outer variant)."""
+    from glad_tiles_pipeline_spark.operators.rangejoin import binned_range_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    reg = spark.read.parquet(f"{SF}/region.parquet").select(
+        "r_name",
+        (F.col("r_regionkey") * 50).cast("double").alias("lo"),
+        ((F.col("r_regionkey") + 1) * 50).cast("double").alias("hi"),
+    )
+    binned = binned_range_join(ev, reg, "value", "lo", "hi", bin_width=25.0)
+    plan = _plan(binned)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    theta = ev.join(
+        reg, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    cols = ["event_id", "r_name"]
+    assert binned.select(*cols).exceptAll(theta.select(*cols)).count() == 0
+    assert theta.select(*cols).exceptAll(binned.select(*cols)).count() == 0
+    # left variant: every point survives exactly max(1, n_matches) times
+    left = binned_range_join(ev, reg, "value", "lo", "hi", 25.0, how="left")
+    assert left.select("event_id").distinct().count() == ev.count()
+    unmatched = left.filter(F.col("r_name").isNull()).count()
+    assert unmatched == ev.join(
+        theta.select("event_id").distinct(), "event_id", "left_anti"
+    ).count()
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """§4.1 evidence: AQE's skew-join really fires — a join keyed on one
     hot value (10⁵ rows on a single key next to 1-row keys) must show
