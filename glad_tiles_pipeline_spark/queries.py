@@ -256,6 +256,18 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """A-family breadth: EXACT percentiles (Spark `percentile` with linear
+    interpolation == DuckDB `quantile_cont`), rounded to 4dp for float-
+    order stability."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_agg_rollup(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
@@ -446,6 +458,21 @@ def q_join_cross(spark, sf_dir):
             F.sum(
                 F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0)
             ).alias("n_members"),
+        )
+    )
+
+
+def q_join_right_outer(spark, sf_dir):
+    """J6 (right outer): orders RIGHT JOIN customer — customers without
+    orders survive with zero counts (the right-null side exercised)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
 
@@ -896,6 +923,12 @@ ORACLES: dict[str, str] = {
     "agg_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         FROM events GROUP BY event_type""",
+    "agg_percentiles": """
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM customer GROUP BY c_mktsegment""",
     "agg_rollup_region_nation": """
         SELECT r.r_name, n.n_name, count(*) AS n_customers
         FROM customer c
@@ -970,6 +1003,11 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END) AS BIGINT) AS n_members
         FROM region r CROSS JOIN nation n
         GROUP BY r.r_name""",
+    "join_right_outer_counts": """
+        SELECT c.c_mktsegment, count(o.o_orderkey) AS n_orders,
+               count(DISTINCT c.c_custkey) AS n_customers
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""",
     "join_full_outer_counts": """
         SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
                COALESCE(c.n_customers, 0) AS n_customers,
@@ -1115,6 +1153,7 @@ QUERIES = {
     "window_running_sum": q_window_running_sum,
     "agg_pricing_summary": q_agg_pricing,
     "agg_distinct_users": q_agg_distinct,
+    "agg_percentiles": q_agg_percentiles,
     "agg_rollup_region_nation": q_agg_rollup,
     "agg_collect_nations": q_agg_collect,
     "join_broadcast_dims": q_join_dims,
@@ -1129,6 +1168,7 @@ QUERIES = {
     "join_shuffle_hash": q_join_shuffle_hash,
     "join_cross_pairs": q_join_cross,
     "join_full_outer_counts": q_join_full_outer,
+    "join_right_outer_counts": q_join_right_outer,
     "window_rank_family": q_window_rank_family,
     "sort_limit_offset": q_sort_limit_offset,
     "agg_approx_distinct": q_agg_approx_distinct,

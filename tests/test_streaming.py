@@ -125,6 +125,30 @@ def test_stream_metrics_tumbling_counts(spark, tmp_path, log_dir):
     assert batch.agg(F.sum("n_events")).collect()[0][0] == N
 
 
+def test_stream_sliding_window_counts(spark, tmp_path, log_dir):
+    """T2 sliding variant under a REAL stream: 2h windows sliding by 1h —
+    every event counted in exactly two windows; totals equal the batch twin."""
+    stream = read_changelog_stream(spark, log_dir, max_files_per_trigger=3)
+    q = (
+        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sliding")
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * N  # 2 windows/event
+    batch = (
+        spark.read.parquet(log_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
 def test_stateful_repo_activity(spark, tmp_path, log_dir):
     """T5: applyInPandasWithState carries per-repo running totals across
     micro-batches; the final update row per repo equals the batch truth."""
