@@ -60,6 +60,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--vacuum-keep", type=int, default=None,
                    help="after ingest, expire data files of snapshots older "
                         "than the newest K (manifests/batch history kept)")
+    p.add_argument("--use-arrow-udfs", dest="use_arrow_udfs",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="lang normalization via the Arrow pandas UDF "
+                        "(default; --no-use-arrow-udfs opts into the "
+                        "equivalent JVM expression fast path)")
+    p.add_argument("--show-history", action="store_true",
+                   help="print the snapshot history after ingest")
+    p.add_argument("--incremental-from", type=int, default=None,
+                   help="after ingest, print the row-count of the CDC-out "
+                        "change feed since this snapshot id")
     p.add_argument("--master", default=None,
                    help="override master (tests); production uses spark-submit --master")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -106,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
             dedup_strategy=args.dedup_strategy,
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
+            use_arrow_udfs=args.use_arrow_udfs,
         )
     else:
         from glad_tiles_pipeline_spark.streaming import stream_ingest
@@ -137,7 +148,14 @@ def main(argv: list[str] | None = None) -> int:
     }
     if vacuumed is not None:
         summary["vacuum"] = vacuumed
+    if args.incremental_from is not None:
+        summary["incremental_rows"] = table.incremental(
+            spark, args.incremental_from
+        ).count()
     print(json.dumps(summary))
+    if args.show_history:
+        for row in table.history(spark).orderBy("snapshot_id").collect():
+            print(json.dumps(row.asDict()), file=sys.stderr)
     return 0
 
 
