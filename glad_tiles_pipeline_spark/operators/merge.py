@@ -8,9 +8,11 @@
      ... applied via schema updates before each MERGE batch");
   2. commit-ordered LWW dedup (skew-immune arg-max by default) → one winning
      event per (repo, path);
-  3. vectorized normalize (lang) + sha256 (content) — computed on WINNERS
-     only, never on the raw event stream: at 10^10 events this is the
-     difference between hashing every event and hashing every surviving key;
+  3. vectorized normalize (lang) + sha256 (content): sha is computed on
+     WINNERS only (both modes — coalesce against stored values); lang
+     normalization runs on batch events (cow, pre-union) or winners (mor),
+     and never on live table rows — at 10^10 events this bounds both the
+     hashing and the Arrow Python-exchange to O(batch), never O(table);
   4. bucket-pruned merge: only buckets containing a touched key participate
      (custom partition pruning, SURVEY.md §4.1).  Two physical modes:
      ``cow`` rewrites each affected bucket with (surviving ∪ incoming)
@@ -241,36 +243,41 @@ def apply_batch(
 
     # locate the derived fields through any renames (stable sources).
     # content_sha is filled post-dedup via coalesce, so live CoW rows keep
-    # their stored sha and only event winners are hashed; lang is
-    # re-normalized post-dedup — normalize is idempotent (canonical values
-    # map to themselves; tests/test_functions.py asserts it), so already-
-    # normalized live rows pass through unchanged.
+    # their stored sha and only event winners are hashed.  lang is
+    # normalized on EVENT rows only, never on live rows: an Arrow UDF under
+    # a when() still ships every input row across the Python exchange, so
+    # CoW applies it in the event projection (O(batch events), pre-union)
+    # and MoR post-dedup (O(winners)) — live rows are already canonical
+    # (idempotence asserted by tests/test_functions.py as a safety net).
     sha_field = next((f for f in fields if f.get("source") == "content_sha"), None)
     content_field = next((f for f in fields if f.get("source") == "content"), None)
     lang_field = next((f for f in fields if f.get("source") == "lang"), None)
 
-    def _finalize_winners(df: DataFrame) -> DataFrame:
-        if lang_field is not None:
-            lang_norm = (
-                normalize_lang(F.col(lang_field["name"]))
-                if use_arrow_udfs
-                else normalize_lang_expr(lang_field["name"])
-            )
-            df = df.withColumn(
-                lang_field["name"],
-                F.when(~F.col("_deleted"), lang_norm).cast(lang_field["type"]),
-            )
-        if sha_field is not None and content_field is not None:
-            df = df.withColumn(
-                sha_field["name"],
-                F.coalesce(
-                    F.col(sha_field["name"]),
-                    F.when(
-                        ~F.col("_deleted"), F.sha2(F.col(content_field["name"]), 256)
-                    ),
+    def _normalize_lang_col(df: DataFrame) -> DataFrame:
+        if lang_field is None:
+            return df
+        lang_norm = (
+            normalize_lang(F.col(lang_field["name"]))
+            if use_arrow_udfs
+            else normalize_lang_expr(lang_field["name"])
+        )
+        return df.withColumn(
+            lang_field["name"],
+            F.when(~F.col("_deleted"), lang_norm).cast(lang_field["type"]),
+        )
+
+    def _fill_sha(df: DataFrame) -> DataFrame:
+        if sha_field is None or content_field is None:
+            return df
+        return df.withColumn(
+            sha_field["name"],
+            F.coalesce(
+                F.col(sha_field["name"]),
+                F.when(
+                    ~F.col("_deleted"), F.sha2(F.col(content_field["name"]), 256)
                 ),
-            )
-        return df
+            ),
+        )
 
     # -- 4. bucket-pruned LWW merge.  Both modes move full-width content
     #       through exactly ONE stats-planned shuffle (plan_partition_ids):
@@ -300,9 +307,11 @@ def apply_batch(
         cow_rows = {
             b: bucket_rows.get(b, 0) + live_rows.get(b, 0) for b in affected
         }
-        # live rows carry their stored _n_src_events; raw events count 1 each
-        incoming_cow = incoming_raw.withColumn(
-            "_n_src_events", F.lit(1).cast("long")
+        # live rows carry their stored _n_src_events; raw events count 1
+        # each.  Normalize lang HERE — on batch events only, before the
+        # union — so live rows never cross the Arrow exchange.
+        incoming_cow = _normalize_lang_col(
+            incoming_raw.withColumn("_n_src_events", F.lit(1).cast("long"))
         )
         merged, _n_cow_pids = plan_partition_ids(
             live.unionByName(incoming_cow),
@@ -311,7 +320,7 @@ def apply_batch(
             path_col=key_names[1],
         )
         merged = merged.repartition(target_parts, F.col("__pid"))
-        new_data = _finalize_winners(
+        new_data = _fill_sha(
             lww_dedup(
                 merged,
                 key=["__pid", "__bucket"] + key_names,
@@ -352,7 +361,7 @@ def apply_batch(
                 .drop("__pid")
                 .withColumn("_n_src_events", F.lit(None).cast("long"))
             )
-        new_data = _finalize_winners(winners)
+        new_data = _fill_sha(_normalize_lang_col(winners))
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 

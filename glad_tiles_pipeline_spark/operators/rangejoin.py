@@ -49,7 +49,7 @@ def binned_range_join(
     # intervals exploded to every covered bin; [lo, hi) half-open so the
     # last bin is floor((hi - ulp)/W) — use hi-exclusive guard in the filter
     iv = intervals.withColumn(
-        "__bin",
+        "__ibin",
         F.explode(
             F.sequence(
                 _bin(F.col(lo_col)),
@@ -59,18 +59,18 @@ def binned_range_join(
             )
         ),
     )
-    pt = points.withColumn("__bin", _bin(F.col(point_col)))
-    exact = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
-    if how == "inner":
-        return pt.join(iv, "__bin").filter(exact).drop("__bin")
-    # left: inner-match then re-attach unmatched points with nulls
-    matched = pt.join(iv, "__bin").filter(exact).drop("__bin")
-    iv_cols = [c for c in intervals.columns]
-    unmatched = pt.drop("__bin").join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+    pt = points.withColumn("__pbin", _bin(F.col(point_col)))
+    # ONE join serves both modes: the equi-part (bin) drives the shuffle
+    # strategy, the range predicate rides as an extra join condition — for
+    # 'left' this keeps unmatched points (nulls) without a second pass, and
+    # each (point, interval) pair matches at most once (a point has exactly
+    # one bin; an interval appears once per bin).  An earlier version
+    # re-attached unmatched points via a left_anti on all point columns,
+    # which both re-executed the join subtree and DUPLICATED matched rows
+    # carrying NULL in any point column (null-unsafe equality).
+    cond = (
+        (pt["__pbin"] == iv["__ibin"])
+        & (pt[point_col] >= iv[lo_col])
+        & (pt[point_col] < iv[hi_col])
     )
-    for c in iv_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(intervals.schema[c].dataType)
-        )
-    return matched.unionByName(unmatched)
+    return pt.join(iv, cond, how).drop("__pbin", "__ibin")

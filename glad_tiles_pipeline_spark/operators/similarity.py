@@ -165,10 +165,17 @@ def _banded_buckets(
     vec_col: str,
     vec_out: str,
 ) -> DataFrame:
-    """(id, vec, band, bucket) — one slim row per (vector, band)."""
-    vecs = fan_out(vec_df).select(
-        F.col(id_col).alias(out_id), as_double(vec_col).alias(vec_out)
-    )
+    """(id, vec, band, bucket) — one slim row per (vector, band).
+
+    Malformed rows (NULL embedding or wrong dimensionality) are filtered
+    up front: the numpy kernel needs a rectangular batch, and such rows
+    can never hash or score anyway (the exact twin drops them too, via
+    NULL cosine)."""
+    vecs = fan_out(
+        vec_df.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+    ).select(F.col(id_col).alias(out_id), as_double(vec_col).alias(vec_out))
     buckets = banded_buckets_udf(dim, n_bands, rows_per_band, seed)
     return vecs.select(
         out_id, vec_out, F.posexplode(buckets(F.col(vec_out))).alias("band", "bucket")
@@ -254,7 +261,11 @@ def lsh_banded_pairs(
     explode (n_bands slim rows per vector: id + two ints) and one shuffled
     equi-join.  P(pair missed) = (1 - p^r)^B with p = 1 - θ/π — at
     near-dup thresholds each extra band multiplies the miss rate by <0.6."""
-    vecs = fan_out(corpus).select(F.col(id_col), as_double(vec_col).alias("__v"))
+    vecs = fan_out(
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+    ).select(F.col(id_col), as_double(vec_col).alias("__v"))
     buckets = banded_buckets_udf(dim, n_bands, rows_per_band, seed)
     banded = vecs.select(
         F.col(id_col), F.posexplode(buckets(F.col("__v"))).alias("band", "bucket")

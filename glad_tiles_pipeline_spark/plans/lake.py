@@ -472,6 +472,20 @@ class LakeTable:
             raise ValueError(
                 f"from_snapshot {from_snapshot} is below the vacuum horizon"
             )
+        # A compaction or CoW commit REWRITES data files: file-set diffing
+        # would then surface every surviving row of the rewritten buckets as
+        # a "change" (and lose the window's real per-commit deltas).  The
+        # feed is exact only over append-style (mor / metadata) commits —
+        # refuse loudly rather than answer wrong.
+        for sid in range(from_snapshot + 1, to_snapshot + 1):
+            mode = (self.manifest(sid).get("metrics") or {}).get("merge_mode")
+            if mode in ("compact", "cow"):
+                raise ValueError(
+                    f"incremental window ({from_snapshot}, {to_snapshot}] spans "
+                    f"a rewrite commit (snapshot {sid}, merge_mode={mode}); "
+                    "the change feed is exact only across merge-on-read "
+                    "commits — read from a snapshot at or after the rewrite"
+                )
         base = {f["path"] for f in self.manifest(from_snapshot)["files"]}
         target = self.manifest(to_snapshot)
         added = [f for f in target["files"] if f["path"] not in base]

@@ -130,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             dedup_strategy=args.dedup_strategy,
             merge_mode=args.merge_mode,
+            use_arrow_udfs=args.use_arrow_udfs,
         )
 
     vacuumed = None
@@ -149,9 +150,12 @@ def main(argv: list[str] | None = None) -> int:
     if vacuumed is not None:
         summary["vacuum"] = vacuumed
     if args.incremental_from is not None:
-        summary["incremental_rows"] = table.incremental(
-            spark, args.incremental_from
-        ).count()
+        try:
+            summary["incremental_rows"] = table.incremental(
+                spark, args.incremental_from
+            ).count()
+        except ValueError as e:  # window spans a rewrite (cow/compaction)
+            summary["incremental_error"] = str(e)
     print(json.dumps(summary))
     if args.show_history:
         for row in table.history(spark).orderBy("snapshot_id").collect():

@@ -174,6 +174,14 @@ def test_binned_range_join_plans_equi_join(spark):
     assert unmatched == ev.join(
         theta.select("event_id").distinct(), "event_id", "left_anti"
     ).count()
+    # regression (code review): a MATCHED point carrying NULL in a non-key
+    # column must not also re-appear as an unmatched null row
+    pts = spark.createDataFrame(
+        [(7, 100.0, None), (8, 9999.0, "t")], "id long, value double, tag string"
+    )
+    lj = binned_range_join(pts, reg, "value", "lo", "hi", 25.0, how="left")
+    rows = {(r.id, r.r_name) for r in lj.collect()}
+    assert rows == {(7, "ASIA"), (8, None)}, rows
 
 
 def test_aqe_splits_skewed_join_partition(spark):
