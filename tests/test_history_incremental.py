@@ -80,6 +80,28 @@ def test_incremental_contains_deletes_and_only_window_changes(spark, ingested):
     assert "content_sha" in empty.columns and "_deleted" in empty.columns
 
 
+def test_incremental_refuses_window_spanning_rewrite(spark, tmp_path):
+    """A compaction (or CoW) commit rewrites files; file-set diffing across
+    it would surface every surviving row as a 'change' — the API must
+    refuse rather than answer wrong, and work again past the rewrite.
+    (Own table: the shared fixture must stay uncompacted.)"""
+    from glad_tiles_pipeline_spark.operators.merge import compact
+
+    log_dir = str(tmp_path / "log")
+    change_log(spark, 1500).write.parquet(log_dir)
+    table = LakeTable.create(str(tmp_path / "lake"), n_buckets=4)
+    ingest_changelog(spark, table, log_dir, batch_size=500, merge_mode="mor")
+    before = table.current_snapshot_id()
+    compact(spark, table)
+    after = table.current_snapshot_id()
+    assert after > before  # a rewrite commit happened
+    with pytest.raises(ValueError, match="rewrite commit"):
+        table.incremental(spark, 0)
+    # windows that avoid the rewrite still work
+    assert table.incremental(spark, before, before).count() == 0
+    assert table.incremental(spark, after, after).count() == 0
+
+
 def test_incremental_below_vacuum_horizon_raises(spark, tmp_path):
     t = LakeTable.create(str(tmp_path / "lake2"), n_buckets=4)
     for i in range(12):
