@@ -39,6 +39,9 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")
 
 
+_FAN_OUT_PARTS_CACHE: dict[int, int] = {}
+
+
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Repartition ahead of compute-heavy per-row work (shingling, K-hash
     signatures).  A text corpus compresses ~10× in parquet, so scan splits
@@ -46,9 +49,22 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     (measured: the sf0.1 documents table is ONE split — the whole minhash
     signature stage ran on 1 of 32 cores).  The shuffled payload is the raw
     rows (cheap relative to the downstream expansion); skip when the input
-    is already wide enough."""
+    is already wide enough.
+
+    The width probe (``df.rdd.getNumPartitions``) forces a DataFrame→RDD
+    plan translation, so its result is memoized by the plan's semantic hash
+    — repeated calls on the same scan (every query in a suite run) pay it
+    once.  All call sites hand fan_out a scan-rooted frame, where the split
+    count is fixed at planning time (AQE only re-plans *shuffle* reads), so
+    the memo cannot go stale mid-session and the probe never mis-reads an
+    adaptive partition count."""
     parts = parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parts:
+    key = df.semanticHash()
+    width = _FAN_OUT_PARTS_CACHE.get(key)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+        _FAN_OUT_PARTS_CACHE[key] = width
+    if width >= parts:
         return df
     return df.repartition(parts)
 
@@ -219,26 +235,43 @@ def ngram_jaccard_blocked(
 
 def simhash32(col: Column) -> Column:
     """32-bit SimHash of the token list, as one bigint — per-row expression
-    math, zero shuffles: count_i = Σ_tokens (bit_i(xxhash64(tok)) ? +1 : -1);
-    bit i of the signature = count_i > 0.  The 32 bit positions are unrolled
-    with Python ints (shift amounts must be literals), all inside codegen."""
-    toks = _tokens(col)
+    math, zero shuffles, SINGLE PASS: hash each token once (``transform``),
+    fold the hashes into a 32-slot ±1 count vector with one ``aggregate``
+    (count_i = Σ_tokens (bit_i(hash) ? +1 : -1)), then pack sign bits
+    (bit i of the signature = count_i > 0).
 
-    def _bit_merge(i: int):
-        def merge(acc, t):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return merge
-
-    sig = F.lit(0).cast("long")
-    for i in range(32):
-        cnt_i = F.aggregate(toks, F.lit(0), _bit_merge(i))
-        sig = sig + F.when(cnt_i > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    The round-2 shape ran 32 independent ``aggregate`` passes — 32 token-
+    list traversals and 32 xxhash64 evaluations per token per row, the most
+    expensive per-row expression in the repo at 100 TB.  This version hashes
+    each token exactly once and traverses the list once; shift amounts are
+    lambda-bound columns, so the shifts go through ``F.call_function``
+    (the PySpark ``shiftright``/``shiftleft`` wrappers only take Python-int
+    amounts)."""
+    idx = F.sequence(F.lit(0), F.lit(31))
+    hashes = F.transform(_tokens(col), lambda t: F.xxhash64(t))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            idx,
+            lambda c, i: F.when(
+                c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
 
 
 def simhash_neardup(
