@@ -8,6 +8,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementations live in ``glad_tiles_pipeline_spark.queries``; keys without
 an oracle entry (xxhash64-seeded LSH internals that DuckDB cannot
 reproduce) take the driver's weaker rows-only check.
+
+The registry submitted here is capped at EXACTLY 50 entries: round 2
+registered 56 and the driver's CORRECTNESS file truncated at 50, silently
+starving the tail of any check.  Redundant spellings / near-duplicate join
+variants live in ``queries.EXTRA_QUERIES`` and are verified by the local
+DuckDB harness (tests/test_queries_oracle.py) with the same comparison.
 """
 
 from __future__ import annotations

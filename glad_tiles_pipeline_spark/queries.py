@@ -561,6 +561,30 @@ def q_fn_from_json(spark, sf_dir):
     )
 
 
+def q_fn_json_roundtrip(spark, sf_dir):
+    """F8 tail primitives in one query: ``json_tuple`` extracts from the
+    props JSON, ``to_json`` re-serializes a typed struct, and
+    ``schema_of_json`` (literal-input schema inference) rides along as a
+    constant column.  Grouping on the round-tripped JSON string makes any
+    serialization drift (key order, spacing, null handling) fail the
+    value-hash against DuckDB's ``to_json(struct_pack(...))``."""
+    ev = _t(spark, sf_dir, "events")
+    extracted = ev.select(
+        F.json_tuple(F.col("props"), "k").alias("k_str"), "event_type"
+    )
+    rebuilt = F.to_json(
+        F.struct(
+            F.col("k_str").cast("int").alias("k"),
+            F.col("event_type").alias("et"),
+        )
+    )
+    return (
+        extracted.groupBy(rebuilt.alias("rebuilt"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("props_schema", F.schema_of_json(F.lit('{"k": 1}')))
+    )
+
+
 def q_fn_lang_norm_iter(spark, sf_dir):
     """V2: iterator pandas UDF variant of fn_lang_normalize — identical
     answer, per-partition-amortized init (functions/text.py)."""
@@ -886,7 +910,7 @@ WHERE rnk <= 5
 
 from glad_tiles_pipeline_spark.functions.text import normalize_lang_sql as _nls  # noqa: E402
 
-ORACLES: dict[str, str] = {
+_ALL_ORACLES: dict[str, str] = {
     "lww_dedup_window": LWW_SQL,
     "lww_dedup_argmax": LWW_SQL,
     "lww_dedup_semijoin": LWW_SQL,
@@ -1043,10 +1067,21 @@ ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "fn_from_json_props": """
-        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod7,
+        -- ((k % 7) + 7) % 7 == Spark's pmod: DuckDB % preserves sign, so the
+        -- two sides must agree even if the fixture ever emits negative k
+        SELECT ((CAST(json_extract_string(props, '$.k') AS INTEGER) % 7) + 7) % 7
+                 AS k_mod7,
                count(*) AS n,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY 1""",
+    "fn_json_roundtrip": """
+        SELECT rebuilt, count(*) AS n, 'STRUCT<k: BIGINT>' AS props_schema
+        FROM (
+          SELECT to_json(struct_pack(
+                   k := CAST(json_extract_string(props, '$.k') AS INTEGER),
+                   et := event_type))::VARCHAR AS rebuilt
+          FROM events)
+        GROUP BY rebuilt""",
     "setop_except_custkeys": """
         SELECT o_custkey FROM (
           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -1143,61 +1178,99 @@ ORACLES: dict[str, str] = {
     #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
 }
 
+# ---------------------------------------------------------------------------
+# Driver-facing registry.  The driver's CORRECTNESS check records rows for at
+# most ~50 queries (round 2 measured a hard truncation at entry 50 with 56
+# registered — the tail 6 got no row at all), so the registry is capped at
+# EXACTLY 50 entries chosen to cover every SURVEY.md §2 operator once, with
+# the round-2-starved entries (dedup_simhash, dedup_embedding_cosine, ann_*,
+# multimodal_*) ordered near the front.  Redundant spellings and
+# near-duplicate join variants live in EXTRA_QUERIES: identical local
+# verification (tests/test_queries_oracle.py parametrizes over BOTH dicts),
+# just not submitted to the driver.
+# ---------------------------------------------------------------------------
+
 QUERIES = {
-    "lww_dedup_window": q_lww_window,
-    "lww_dedup_argmax": q_lww_argmax,
-    "lww_dedup_semijoin": q_lww_semijoin,
+    # flagship + the entries that must land driver rows this round
     "flagship_cdc_enrich": q_flagship,
-    "window_rank_top3": q_window_rank,
-    "window_lag_delta": q_window_lag,
-    "window_running_sum": q_window_running_sum,
-    "agg_pricing_summary": q_agg_pricing,
-    "agg_distinct_users": q_agg_distinct,
-    "agg_percentiles": q_agg_percentiles,
-    "agg_rollup_region_nation": q_agg_rollup,
-    "agg_collect_nations": q_agg_collect,
-    "join_broadcast_dims": q_join_dims,
-    "join_sortmerge_revenue": q_join_revenue,
-    "join_semi_with_orders": q_join_semi,
-    "join_anti_without_orders": q_join_anti,
-    "join_outer_order_histogram": q_join_outer_histogram,
-    "join_range_value_buckets": q_join_range,
-    "join_range_binned": q_join_range_binned,
-    "join_asof_latest_order": q_join_asof,
-    "join_skew_salted": q_join_salted,
-    "join_shuffle_hash": q_join_shuffle_hash,
-    "join_cross_pairs": q_join_cross,
-    "join_full_outer_counts": q_join_full_outer,
-    "join_right_outer_counts": q_join_right_outer,
-    "window_rank_family": q_window_rank_family,
-    "sort_limit_offset": q_sort_limit_offset,
-    "agg_approx_distinct": q_agg_approx_distinct,
-    "agg_cube_status_priority": q_agg_cube,
-    "fn_from_json_props": q_fn_from_json,
-    "fn_lang_normalize_iter": q_fn_lang_norm_iter,
-    "setop_except_custkeys": q_setop_except,
-    "setop_intersect_nations": q_setop_intersect,
-    "union_by_name_counts": q_union_by_name,
-    "fn_json_extract": q_fn_json,
-    "fn_date_trunc": q_fn_dates,
-    "fn_sha256_docs": q_fn_sha,
-    "fn_lang_normalize": q_fn_lang_norm,
-    "stream_tumbling_counts": q_stream_tumbling,
-    "stream_sliding_counts": q_stream_sliding,
-    "stream_session_windows": q_session_windows,
-    "agg_grouped_pandas": q_grouped_pandas_agg,
-    "source_csv_roundtrip": q_csv_roundtrip,
-    "text_token_counts": q_text_tokens,
-    "text_quality_score": q_text_quality,
-    "text_lang_id": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram,
-    "dedup_minhash_lsh": q_dedup_minhash,
+    "lww_dedup_argmax": q_lww_argmax,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "multimodal_decode_stub": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frames,
+    "fn_json_roundtrip": q_fn_json_roundtrip,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    # windows / ordering
+    "window_lag_delta": q_window_lag,
+    "window_running_sum": q_window_running_sum,
+    "window_rank_family": q_window_rank_family,
+    "sort_limit_offset": q_sort_limit_offset,
+    # aggregates
+    "agg_pricing_summary": q_agg_pricing,
+    "agg_distinct_users": q_agg_distinct,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_rollup_region_nation": q_agg_rollup,
+    "agg_cube_status_priority": q_agg_cube,
+    "agg_collect_nations": q_agg_collect,
+    "agg_grouped_pandas": q_grouped_pandas_agg,
+    # joins
+    "join_broadcast_dims": q_join_dims,
+    "join_sortmerge_revenue": q_join_revenue,
+    "join_semi_with_orders": q_join_semi,
+    "join_anti_without_orders": q_join_anti,
+    "join_outer_order_histogram": q_join_outer_histogram,
+    "join_full_outer_counts": q_join_full_outer,
+    "join_range_binned": q_join_range_binned,
+    "join_asof_latest_order": q_join_asof,
+    "join_skew_salted": q_join_salted,
+    "join_cross_pairs": q_join_cross,
+    # set ops
+    "setop_except_custkeys": q_setop_except,
+    "setop_intersect_nations": q_setop_intersect,
+    "union_by_name_counts": q_union_by_name,
+    # functions
+    "fn_json_extract": q_fn_json,
+    "fn_from_json_props": q_fn_from_json,
+    "fn_date_trunc": q_fn_dates,
+    "fn_sha256_docs": q_fn_sha,
+    "fn_lang_normalize": q_fn_lang_norm,
+    "fn_lang_normalize_iter": q_fn_lang_norm_iter,
+    # streaming twins
+    "stream_tumbling_counts": q_stream_tumbling,
+    "stream_sliding_counts": q_stream_sliding,
+    "stream_session_windows": q_session_windows,
+    # sources / text
+    "source_csv_roundtrip": q_csv_roundtrip,
+    "text_token_counts": q_text_tokens,
+    "text_quality_score": q_text_quality,
+    "text_lang_id": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
 }
+
+# Demoted spellings/variants: same local oracle gate, not driver-submitted.
+EXTRA_QUERIES = {
+    "lww_dedup_window": q_lww_window,
+    "lww_dedup_semijoin": q_lww_semijoin,
+    "window_rank_top3": q_window_rank,
+    "agg_percentiles": q_agg_percentiles,
+    "join_range_value_buckets": q_join_range,
+    "join_right_outer_counts": q_join_right_outer,
+    "join_shuffle_hash": q_join_shuffle_hash,
+}
+
+assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
+assert not (set(QUERIES) & set(EXTRA_QUERIES))
+
+ORACLES: dict[str, str] = {
+    k: _ALL_ORACLES[k] for k in QUERIES if k in _ALL_ORACLES
+}
+EXTRA_ORACLES: dict[str, str] = {
+    k: _ALL_ORACLES[k] for k in EXTRA_QUERIES if k in _ALL_ORACLES
+}
+assert set(_ALL_ORACLES) == set(ORACLES) | set(EXTRA_ORACLES), (
+    "every oracle key must map to a registered query"
+)

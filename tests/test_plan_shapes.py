@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from glad_tiles_pipeline_spark.functions.hashing import bucket_col
 from glad_tiles_pipeline_spark.operators.dedup import lww_dedup_argmax
 from glad_tiles_pipeline_spark.operators.merge import plan_partition_ids
-from glad_tiles_pipeline_spark.queries import QUERIES
+from glad_tiles_pipeline_spark.queries import EXTRA_QUERIES, QUERIES
 from glad_tiles_pipeline_spark.sources.changelog import read_changelog_batch
 from glad_tiles_pipeline_spark.sources.generator import change_log
 
@@ -111,7 +111,7 @@ def test_no_row_python_udf_anywhere(spark):
     every registered query plan must be Arrow-vectorized — BatchEvalPython
     (row-at-a-time pickle) must never appear."""
     offenders = []
-    for name, fn in QUERIES.items():
+    for name, fn in {**QUERIES, **EXTRA_QUERIES}.items():
         try:
             plan = _plan(fn(spark, SF))
         except Exception:  # pragma: no cover - plan-only probe
@@ -119,6 +119,14 @@ def test_no_row_python_udf_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_shuffle_hash_hint_plans_shj(spark):
+    """J3: the SHUFFLE_HASH hint must actually produce a ShuffledHashJoin
+    (not SMJ) — hard plan evidence now that the query itself is demoted to
+    EXTRA_QUERIES (driver registry cap)."""
+    plan = _plan(EXTRA_QUERIES["join_shuffle_hash"](spark, SF))
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_minhash_self_join_reuses_exchange(spark):
