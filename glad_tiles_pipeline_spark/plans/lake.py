@@ -99,11 +99,118 @@ def _spark_type(type_str: str) -> T.DataType:
     return T._parse_datatype_string(type_str)
 
 
+class ManifestIO:
+    """The ~7 filesystem primitives the manifest log needs, isolated so an
+    object-store backend can replace them without touching commit logic.
+    Data files themselves are written/read by Spark executors directly
+    (``df.write.parquet``) — this seam carries only the tiny metadata side:
+    manifests, batch-index markers, vacuum bookkeeping.
+
+    Mapping for an S3/Iceberg deployment, per method:
+
+    * ``put_if_absent``  — the commit CAS.  S3: conditional PUT with
+      ``If-None-Match: *`` (supported since 2024); Iceberg: the catalog's
+      atomic swap (``commitTransaction``); Dynamo/etcd: conditional write.
+    * ``put_atomic``     — last-writer-wins overwrite.  S3: plain PUT
+      (atomic per object); used only for monotone markers
+      (``indexed_through``, ``vacuum.json``) where a lost race is re-done.
+    * ``read_text`` / ``exists`` / ``list_names`` — GET / HEAD /
+      ListObjectsV2 with a prefix.
+    * ``delete`` / ``walk_data_files`` — DeleteObject / ListObjectsV2 over
+      the data prefix (S3 has no directories: ``rmdir_if_empty`` becomes a
+      no-op and ``mtime`` comes from the object's LastModified).
+    """
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_names(self, dirpath: str) -> list[str]:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        """Durably create ``path`` with ``data`` iff absent; True on win."""
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, data: str) -> None:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def walk_data_files(self, root: str):
+        """Yield (abs_path, size_bytes, mtime_epoch) for every file under
+        ``root``, depth-first so empty dirs can be pruned afterwards."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        raise NotImplementedError
+
+    def rmdir_if_empty(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class LocalManifestIO(ManifestIO):
+    """POSIX implementation: create-if-absent via ``os.link`` (EEXIST on a
+    lost race), overwrite via ``os.replace`` — both atomic on one host/NFS."""
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_names(self, dirpath: str) -> list[str]:
+        return os.listdir(dirpath)
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def put_atomic(self, path: str, data: str) -> None:
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def walk_data_files(self, root: str):
+        for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                yield full, st.st_size, st.st_mtime
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def rmdir_if_empty(self, path: str) -> None:
+        if os.path.isdir(path) and not os.listdir(path):
+            os.rmdir(path)
+
+
 class LakeTable:
     """Snapshot-versioned Parquet table with manifest-log commits."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, io: ManifestIO | None = None):
         self.root = root
+        self.io = io or LocalManifestIO()
         self._manifest_dir = os.path.join(root, "manifests")
 
     # -- creation / metadata -------------------------------------------------
@@ -114,15 +221,17 @@ class LakeTable:
         root: str,
         schema: T.StructType = FINAL_SCHEMA,
         n_buckets: int = 16,
+        io: ManifestIO | None = None,
     ) -> "LakeTable":
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=False)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        io = io or LocalManifestIO()
+        io.makedirs(os.path.join(root, "manifests"), exist_ok=False)
+        io.makedirs(os.path.join(root, "data"), exist_ok=True)
         fields = [
             {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(),
              "source": f.name}
             for i, f in enumerate(schema.fields)
         ]
-        table = cls(root)
+        table = cls(root, io=io)
         manifest = {
             "snapshot_id": 0,
             "parent_snapshot_id": None,
@@ -145,7 +254,7 @@ class LakeTable:
     def current_snapshot_id(self) -> int:
         ids = [
             int(f[1:-5])
-            for f in os.listdir(self._manifest_dir)
+            for f in self.io.list_names(self._manifest_dir)
             if f.startswith("v") and f.endswith(".json")
         ]
         if not ids:
@@ -155,8 +264,7 @@ class LakeTable:
     def manifest(self, snapshot_id: int | None = None) -> dict:
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
-        with open(self._manifest_path(snapshot_id)) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(self._manifest_path(snapshot_id)))
 
     @property
     def n_buckets(self) -> int:
@@ -197,35 +305,24 @@ class LakeTable:
 
     def _write_batch_marker(self, batch_id: str, snapshot_id: int) -> None:
         """Create-if-absent marker (idempotent; racers write identical
-        content, so EEXIST is success)."""
-        final = self._batch_marker_path(batch_id)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "snapshot_id": snapshot_id}, f)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            pass
-        finally:
-            os.unlink(tmp)
+        content, so a lost CAS is success)."""
+        self.io.put_if_absent(
+            self._batch_marker_path(batch_id),
+            json.dumps({"batch_id": batch_id, "snapshot_id": snapshot_id}),
+        )
 
     def _indexed_through(self) -> int:
         p = os.path.join(self._manifest_dir, "indexed_through.json")
-        if not os.path.exists(p):
+        if not self.io.exists(p):
             return -1
-        with open(p) as f:
-            return int(json.load(f)["snapshot_id"])
+        return int(json.loads(self.io.read_text(p))["snapshot_id"])
 
     def _advance_indexed_through(self, snapshot_id: int) -> None:
         """Monotone atomic advance (a lost race just re-indexes a suffix)."""
         if snapshot_id <= self._indexed_through():
             return
         p = os.path.join(self._manifest_dir, "indexed_through.json")
-        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_id": snapshot_id}, f)
-        os.replace(tmp, p)
+        self.io.put_atomic(p, json.dumps({"snapshot_id": snapshot_id}))
 
     def batch_committed(self, batch_id: str) -> int | None:
         """Snapshot id that committed ``batch_id``, or None.
@@ -233,9 +330,8 @@ class LakeTable:
         Amortized O(1): marker hit, else index the un-walked manifest suffix
         (only snapshots published since the last call) and re-check."""
         marker = self._batch_marker_path(batch_id)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                rec = json.load(f)
+        if self.io.exists(marker):
+            rec = json.loads(self.io.read_text(marker))
             if rec["batch_id"] == batch_id:  # guards the truncated-hash name
                 return int(rec["snapshot_id"])
         found: int | None = None
@@ -344,7 +440,7 @@ class LakeTable:
         Returns (absolute, relative-to-root)."""
         rel = os.path.join("data", f"commit-{uuid.uuid4().hex[:12]}")
         absd = os.path.join(self.root, rel)
-        os.makedirs(absd, exist_ok=False)
+        self.io.makedirs(absd, exist_ok=False)
         return absd, rel
 
     def commit(
@@ -396,24 +492,20 @@ class LakeTable:
         return manifest["snapshot_id"]
 
     def _publish(self, manifest: dict) -> None:
-        """Atomic create-if-absent via link(2): write tmp, hard-link to the
-        final name (fails with EEXIST if a racer won), unlink tmp."""
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        final = self._manifest_path(manifest["snapshot_id"])
-        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError as e:
+        """Atomic create-if-absent (the commit CAS): exactly one of two
+        racing committers with the same parent wins.  Local backend uses
+        link(2); an S3 backend maps to a conditional PUT / catalog swap
+        (see ManifestIO)."""
+        self.io.makedirs(self._manifest_dir, exist_ok=True)
+        won = self.io.put_if_absent(
+            self._manifest_path(manifest["snapshot_id"]),
+            json.dumps(manifest, indent=1),
+        )
+        if not won:
             raise CommitConflict(
                 f"snapshot v{manifest['snapshot_id']} already published "
                 f"(expected parent {manifest['parent_snapshot_id']})"
-            ) from e
-        finally:
-            os.unlink(tmp)
+            )
 
     # -- table history / incremental reads ------------------------------------
 
@@ -421,7 +513,14 @@ class LakeTable:
         """Snapshot history as a DataFrame (Iceberg `table.history()` /
         Delta `DESCRIBE HISTORY` parity): one row per snapshot with commit
         metadata and headline metrics.  Driver-side manifest walk — O(number
-        of snapshots), tiny JSON each, never touches data files."""
+        of snapshots), tiny JSON each, never touches data files.
+
+        Admin-surface only: a 10^6-commit table would want the rolled-up
+        manifest-list file Iceberg keeps (one read instead of 10^6) — the
+        batch-id marker index already establishes that derive-and-repair
+        pattern, and ``ManifestIO`` is the seam such an index would live
+        behind.  Not needed at this table's commit cadence (one snapshot per
+        ingest batch)."""
         rows = []
         for sid in range(0, self.current_snapshot_id() + 1):
             m = self.manifest(sid)
@@ -466,8 +565,17 @@ class LakeTable:
         semantics the window must not span a CoW/compaction commit; those
         commits rewrite — not change — data.  The mor ingest path, where a
         change feed matters, appends pure delta files.)"""
+        cur = self.current_snapshot_id()
         if to_snapshot is None:
-            to_snapshot = self.current_snapshot_id()
+            to_snapshot = cur
+        # Validate the window up front: a reversed or future range would
+        # otherwise skip the rewrite guard (empty loop) or surface as an
+        # opaque FileNotFoundError from manifest().
+        if not (0 <= from_snapshot <= to_snapshot <= cur):
+            raise ValueError(
+                f"invalid incremental window ({from_snapshot}, {to_snapshot}]: "
+                f"need 0 <= from <= to <= current snapshot {cur}"
+            )
         if from_snapshot < self.vacuum_horizon():
             raise ValueError(
                 f"from_snapshot {from_snapshot} is below the vacuum horizon"
@@ -566,43 +674,41 @@ class LakeTable:
         removed_bytes = 0
         now = time.time()
         data_root = os.path.join(self.root, "data")
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-            for fn in filenames:
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                if rel in retained:
-                    continue
-                if not fn.endswith(".parquet"):
-                    continue
-                # a file referenced by an expired manifest is provably not
-                # part of an in-flight commit — no grace needed; the grace
-                # window protects only TRUE orphans (never referenced), which
-                # may belong to a commit that has not yet published
-                if rel not in superseded and (
-                    now - os.path.getmtime(full) < orphan_grace_seconds
-                ):
-                    continue
-                removed_bytes += os.path.getsize(full)
-                os.unlink(full)
-                removed_files += 1
-            if not os.listdir(dirpath) and dirpath != data_root:
-                os.rmdir(dirpath)
+        touched_dirs: list[str] = []
+        for full, size, mtime in self.io.walk_data_files(data_root):
+            rel = os.path.relpath(full, self.root)
+            if rel in retained:
+                continue
+            if not full.endswith(".parquet"):
+                continue
+            # a file referenced by an expired manifest is provably not
+            # part of an in-flight commit — no grace needed; the grace
+            # window protects only TRUE orphans (never referenced), which
+            # may belong to a commit that has not yet published
+            if rel not in superseded and (now - mtime < orphan_grace_seconds):
+                continue
+            removed_bytes += size
+            self.io.delete(full)
+            removed_files += 1
+            d = os.path.dirname(full)
+            if d != data_root and (not touched_dirs or touched_dirs[-1] != d):
+                touched_dirs.append(d)
+        for d in touched_dirs:  # prune now-empty commit dirs (no-op on S3)
+            self.io.rmdir_if_empty(d)
+            self.io.rmdir_if_empty(os.path.dirname(d))
 
         marker = {"vacuum_horizon": horizon, "vacuumed_at": now,
                   "removed_files": removed_files, "removed_bytes": removed_bytes}
-        tmp = os.path.join(self.root, f".vacuum.tmp.{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, os.path.join(self.root, "vacuum.json"))
+        self.io.put_atomic(os.path.join(self.root, "vacuum.json"),
+                           json.dumps(marker))
         return marker
 
     def vacuum_horizon(self) -> int:
         """Oldest snapshot id whose data files are guaranteed present."""
         p = os.path.join(self.root, "vacuum.json")
-        if not os.path.exists(p):
+        if not self.io.exists(p):
             return 0
-        with open(p) as f:
-            return int(json.load(f)["vacuum_horizon"])
+        return int(json.loads(self.io.read_text(p))["vacuum_horizon"])
 
     # -- schema evolution (§1.3) ----------------------------------------------
 

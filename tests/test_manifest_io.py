@@ -1,0 +1,85 @@
+"""ManifestIO seam: the manifest log must do ALL its metadata IO through the
+injected backend (so an object-store impl can replace the local one), and
+incremental() must reject malformed windows up front."""
+
+from __future__ import annotations
+
+import pytest
+
+from glad_tiles_pipeline_spark.plans.lake import LakeTable, LocalManifestIO
+from glad_tiles_pipeline_spark.sources.generator import change_log
+from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+
+
+class CountingIO(LocalManifestIO):
+    """Delegates to the local backend, recording every call by method."""
+
+    def __init__(self):
+        self.calls: dict[str, int] = {}
+
+    def _rec(self, name):
+        self.calls[name] = self.calls.get(name, 0) + 1
+
+    def read_text(self, path):
+        self._rec("read_text")
+        return super().read_text(path)
+
+    def put_if_absent(self, path, data):
+        self._rec("put_if_absent")
+        return super().put_if_absent(path, data)
+
+    def put_atomic(self, path, data):
+        self._rec("put_atomic")
+        return super().put_atomic(path, data)
+
+    def delete(self, path):
+        self._rec("delete")
+        return super().delete(path)
+
+    def list_names(self, path):
+        self._rec("list_names")
+        return super().list_names(path)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("io_seam")
+    log = str(work / "log")
+    change_log(spark, 4000).write.parquet(log)
+    io = CountingIO()
+    table = LakeTable.create(str(work / "table"), n_buckets=4, io=io)
+    ingest_changelog(spark, table, log, batch_size=1500, merge_mode="mor")
+    return table, io
+
+def test_all_metadata_io_goes_through_seam(spark, ingested):
+    table, io = ingested
+    # every manifest publish and batch marker is a CAS through the seam
+    assert io.calls.get("put_if_absent", 0) >= 4  # v0..v3 + markers
+    assert io.calls.get("read_text", 0) > 0
+    assert io.calls.get("put_atomic", 0) >= 1  # indexed_through advances
+    # and reads on a seam-injected handle still work end-to-end
+    assert table.scan(spark).count() > 0
+
+
+def test_vacuum_deletes_through_seam(spark, ingested):
+    table, io = ingested
+    from glad_tiles_pipeline_spark.operators.merge import compact
+
+    compact(spark, table)
+    before = io.calls.get("delete", 0)
+    res = table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert res["removed_files"] > 0
+    assert io.calls.get("delete", 0) - before == res["removed_files"]
+
+
+def test_incremental_rejects_malformed_windows(spark, ingested):
+    table, _ = ingested
+    cur = table.current_snapshot_id()
+    with pytest.raises(ValueError, match="invalid incremental window"):
+        table.incremental(spark, from_snapshot=3, to_snapshot=1)
+    with pytest.raises(ValueError, match="invalid incremental window"):
+        table.incremental(spark, from_snapshot=cur + 5)
+    with pytest.raises(ValueError, match="invalid incremental window"):
+        table.incremental(spark, from_snapshot=0, to_snapshot=cur + 1)
+    with pytest.raises(ValueError, match="invalid incremental window"):
+        table.incremental(spark, from_snapshot=-1, to_snapshot=cur)
