@@ -2,6 +2,7 @@
 
 from glad_tiles_pipeline_spark.streaming.bridge import (
     stream_ingest,
+    stream_ingest_continuous,
     stream_metrics,
     with_stream_hygiene,
 )
@@ -10,6 +11,7 @@ from glad_tiles_pipeline_spark.streaming.stateful import repo_activity_state
 __all__ = [
     "repo_activity_state",
     "stream_ingest",
+    "stream_ingest_continuous",
     "stream_metrics",
     "with_stream_hygiene",
 ]

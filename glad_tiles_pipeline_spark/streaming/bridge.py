@@ -90,7 +90,76 @@ def stream_ingest(
     wider range is harmless by LWW idempotence.
     """
     results: list[dict] = []
+    _apply = _make_foreach_batch(
+        spark, table, results, quarantine_dir, late_threshold, apply_kwargs
+    )
 
+    events = read_changelog_stream(
+        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
+
+    query = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return results
+
+
+def stream_ingest_continuous(
+    spark: SparkSession,
+    table: LakeTable,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    *,
+    processing_time: str = "1 second",
+    max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
+    dedup_keys: list[str] | None = None,
+    quarantine_dir: str | None = None,
+    late_threshold: str | None = None,
+    **apply_kwargs,
+):
+    """The production loop: the SAME query as ``stream_ingest`` under a
+    processing-time trigger — it keeps firing as new changelog files land
+    instead of draining once and stopping.  Returns ``(query, results)``:
+    ``results`` grows by one summary per applied micro-batch; the caller
+    owns the lifecycle (``query.stop()``).
+
+    A stop (or crash) mid-batch is safe by construction: the micro-batch
+    either committed its snapshot or didn't, and on restart the replayed
+    batch's content-addressed id makes the MERGE a no-op if it did —
+    identical fencing to the AvailableNow path, which is the point: one
+    code path, two triggers."""
+    results: list[dict] = []
+    _apply = _make_foreach_batch(
+        spark, table, results, quarantine_dir, late_threshold, apply_kwargs
+    )
+    events = read_changelog_stream(
+        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
+    query = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+    return query, results
+
+
+def _make_foreach_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    results: list[dict],
+    quarantine_dir: str | None,
+    late_threshold: str | None,
+    apply_kwargs: dict,
+):
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
         # One slim job pins the batch's identity + offsets (column-pruned
@@ -127,20 +196,7 @@ def stream_ingest(
         res["quarantined"] = n_late
         results.append(res)
 
-    events = read_changelog_stream(
-        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
-    )
-    events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
-
-    query = (
-        events.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        query.awaitTermination()
-    return results
+    return _apply
 
 
 def stream_metrics(

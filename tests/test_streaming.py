@@ -12,7 +12,11 @@ from glad_tiles_pipeline_spark.plans.lake import LakeTable
 from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
 from glad_tiles_pipeline_spark.sources.changelog import read_changelog_stream
 from glad_tiles_pipeline_spark.sources.generator import change_log
-from glad_tiles_pipeline_spark.streaming import stream_ingest, stream_metrics
+from glad_tiles_pipeline_spark.streaming import (
+    stream_ingest,
+    stream_ingest_continuous,
+    stream_metrics,
+)
 
 N = 4000
 
@@ -232,6 +236,53 @@ def test_stateful_repo_activity_transform_with_state(spark, tmp_path, log_dir):
              F.max("commit_seq").alias("max_commit_seq"))
     )
     assert last.exceptAll(truth).count() == 0 and truth.exceptAll(last).count() == 0
+
+
+def test_continuous_trigger_is_same_query(spark, tmp_path, log_dir):
+    """The production loop really is 'the same query with a continuous
+    trigger': a processing-time-trigger run over two arrival waves —
+    started, ≥2 data micro-batches, stopped gracefully — must leave the
+    table in exactly the state AvailableNow produces on the same log."""
+    import time
+
+    table = LakeTable.create(str(tmp_path / "t_cont"), n_buckets=8)
+    query, results = stream_ingest_continuous(
+        spark, table, log_dir, str(tmp_path / "ckpt_cont"),
+        processing_time="1 second", max_files_per_trigger=4,
+    )
+
+    def _wait(pred, timeout=120.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if pred():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"continuous run stalled: {query.status}")
+
+    try:
+        _wait(lambda: len(results) >= 1)  # wave 1 applied by a live tick
+        change_log(spark, 1500, seed=43).withColumn(
+            "offset", F.col("offset") + N
+        ).repartition(2).write.mode("append").parquet(log_dir)
+        _wait(lambda: len(results) >= 2)  # wave 2 picked up WHILE running
+        # drain in-flight work, then stop gracefully
+        _wait(lambda: not query.status["isDataAvailable"]
+              and not query.status["isTriggerActive"])
+    finally:
+        query.stop()
+    query.awaitTermination()
+
+    assert len(results) >= 2
+    assert not any(r.get("skipped") for r in results)
+    _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
+
+    # AvailableNow twin over the same (two-wave) log: identical final state
+    twin = LakeTable.create(str(tmp_path / "t_twin"), n_buckets=8)
+    stream_ingest(spark, twin, log_dir, str(tmp_path / "ckpt_twin"))
+    got = table.scan(spark)
+    want = twin.scan(spark)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
 
 
 def test_checkpoint_reset_does_not_lose_data(spark, tmp_path, log_dir):
