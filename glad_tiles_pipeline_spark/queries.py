@@ -598,6 +598,50 @@ def q_fn_lang_norm_iter(spark, sf_dir):
     )
 
 
+def q_fn_map_props(spark, sf_dir):
+    """F7 breadth: map construction/access as first-class columns —
+    ``create_map`` ×2, ``map_concat``, ``element_at``, ``map_keys``.  The
+    oracle reproduces the VALUES the map ops must yield (same contract
+    style as agg_approx_distinct): any drift in map semantics changes the
+    grouped counts."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.create_map(F.lit("et"), F.col("event_type")),
+        F.create_map(
+            F.lit("sign"),
+            F.when(F.col("value") >= 100, F.lit("hi")).otherwise(F.lit("lo")),
+        ),
+    )
+    return (
+        ev.select(
+            F.element_at(m, "et").alias("et"),
+            F.element_at(m, "sign").alias("sign"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .groupBy("et", "sign", "n_keys")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_agg_pivot_status(spark, sf_dir):
+    """A-family breadth: PIVOT — per-priority order counts spread across
+    status columns (explicit value list keeps the output schema static, the
+    production-safe form: an unlisted pivot scans twice to discover
+    values)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
 def q_fn_dates(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1103,6 +1147,17 @@ _ALL_ORACLES: dict[str, str] = {
     "fn_date_trunc": """
         SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
         FROM events GROUP BY 1, 2""",
+    "fn_map_props": """
+        SELECT event_type AS et,
+               CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS sign,
+               2 AS n_keys, count(*) AS n
+        FROM events GROUP BY 1, 2, 3""",
+    "agg_pivot_status": """
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1""",
     "fn_sha256_docs": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "fn_lang_normalize": f"""
         SELECT {_nls('lang')} AS lang, count(*) AS n_docs
@@ -1260,6 +1315,9 @@ EXTRA_QUERIES = {
     "join_range_value_buckets": q_join_range,
     "join_right_outer_counts": q_join_right_outer,
     "join_shuffle_hash": q_join_shuffle_hash,
+    # breadth beyond the 50-cap (F7 maps, A-family pivot) — local-only
+    "fn_map_props": q_fn_map_props,
+    "agg_pivot_status": q_agg_pivot_status,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
