@@ -1,0 +1,111 @@
+"""Document chunking — the training-data op that turns documents into
+overlapping token-window chunks (context-length packing feeds on this).
+
+Two spellings with identical output:
+
+  * ``chunk_documents`` — pure column expressions (sequence → transform →
+    slice → posexplode): JVM-side, whole-stage codegen, the 100 TB path.
+    One explode, no shuffle, no Python.
+  * ``chunk_documents_udtf`` — the same operator through the modern
+    PySpark UDTF surface (V6): a lateral-join table function, Arrow-
+    optimized (``useArrow=True`` — a non-Arrow UDTF would be row-at-a-time
+    pickle, the banned V5 shape).  Exists to cover the API surface and as
+    the template for chunkers that need real tokenizers (which are Python
+    libraries); equality with the expression twin is pytest-gated.
+
+Chunk geometry: windows of ``chunk_tokens`` whitespace tokens advancing by
+``chunk_tokens - overlap``; the last window may be shorter but is never
+empty; a document shorter than one window yields exactly one chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.docs import _tokens, fan_out
+
+
+def _chunk_starts(toks: Column, chunk_tokens: int, stride: int) -> Column:
+    """1-based start indices: 1, 1+stride, ... while start <= n_tokens,
+    clamped so a short/empty doc still yields start=[1]."""
+    n = F.greatest(F.size(toks), F.lit(1))
+    # number of windows = ceil((n - chunk_tokens) / stride) + 1, min 1
+    n_win = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_win - 1), lambda i: i * stride + 1
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text) — one row per window."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    windows = F.transform(
+        _chunk_starts(toks, chunk_tokens, stride),
+        lambda s: F.slice(toks, s, chunk_tokens),
+    )
+    return (
+        fan_out(docs)
+        .select(F.col(id_col), F.posexplode(windows).alias("chunk_idx", "__w"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__w").alias("n_tokens"),
+            F.concat_ws(" ", "__w").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_udtf(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """V6 twin via an Arrow-optimized Python UDTF lateral join."""
+    from pyspark.sql.functions import lit, udtf
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_text string",
+          useArrow=True)
+    class ChunkWindows:
+        def eval(self, text: str, chunk: int, ov: int):
+            # mirrors the expression twin exactly, including the Spark
+            # `split` edge case where an empty string yields [''] (so an
+            # empty doc produces one 1-token chunk of '')
+            import math
+            import re
+
+            toks = re.split(r"\s+", (text or "").strip().lower())
+            stride = chunk - ov
+            n = max(len(toks), 1)
+            n_win = max(math.ceil((n - chunk) / stride) + 1, 1)
+            for i in range(n_win):
+                w = toks[i * stride: i * stride + chunk]
+                yield i, len(w), " ".join(w)
+
+    return (
+        fan_out(docs)
+        .lateralJoin(
+            ChunkWindows(
+                F.col(text_col).outer(), lit(chunk_tokens), lit(overlap)
+            )
+        )
+        .select(id_col, "chunk_idx", "n_tokens", "chunk_text")
+    )

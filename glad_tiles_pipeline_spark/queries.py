@@ -790,6 +790,16 @@ def q_text_langid(spark, sf_dir):
     return docs.select("doc_id", lang_id_heuristic("text").alias("lang_pred"))
 
 
+def q_text_chunks(spark, sf_dir):
+    """Training-data chunking: overlapping 24-token windows, stride 16 —
+    pure column expressions (operators/chunking.py), DuckDB-reproducible
+    (same window math over list slices)."""
+    from glad_tiles_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=24, overlap=8)
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1158,6 +1168,23 @@ _ALL_ORACLES: dict[str, str] = {
                count(*) FILTER (o_orderstatus = 'O') AS n_o,
                count(*) FILTER (o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY 1""",
+    "text_chunk_windows": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks,
+                 greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS n
+          FROM documents),
+        w AS (
+          SELECT doc_id, toks,
+                 CAST(unnest(range(0, greatest(
+                     CAST(ceil((n - 24) / 16.0) AS INT) + 1, 1))) AS INT)
+                   AS chunk_idx
+          FROM t)
+        SELECT doc_id, chunk_idx,
+               len(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 24]) AS n_tokens,
+               array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 24], ' ')
+                 AS chunk_text
+        FROM w""",
     "fn_sha256_docs": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "fn_lang_normalize": f"""
         SELECT {_nls('lang')} AS lang, count(*) AS n_docs
@@ -1315,9 +1342,11 @@ EXTRA_QUERIES = {
     "join_range_value_buckets": q_join_range,
     "join_right_outer_counts": q_join_right_outer,
     "join_shuffle_hash": q_join_shuffle_hash,
-    # breadth beyond the 50-cap (F7 maps, A-family pivot) — local-only
+    # breadth beyond the 50-cap (F7 maps, A-family pivot, chunking) —
+    # local-only, same DuckDB comparison
     "fn_map_props": q_fn_map_props,
     "agg_pivot_status": q_agg_pivot_status,
+    "text_chunk_windows": q_text_chunks,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
