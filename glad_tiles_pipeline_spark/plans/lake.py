@@ -329,14 +329,21 @@ class LakeTable:
 
         Amortized O(1): marker hit, else index the un-walked manifest suffix
         (only snapshots published since the last call) and re-check."""
+        dead = self._dead_ranges()
         marker = self._batch_marker_path(batch_id)
         if self.io.exists(marker):
             rec = json.loads(self.io.read_text(marker))
-            if rec["batch_id"] == batch_id:  # guards the truncated-hash name
+            # the dead-range check makes a rolled-back batch re-appliable
+            # even if its (stale) marker survived a crash before marker GC
+            if rec["batch_id"] == batch_id and not self._is_dead(
+                int(rec["snapshot_id"]), dead
+            ):
                 return int(rec["snapshot_id"])
         found: int | None = None
         cur = self.current_snapshot_id()
         for sid in range(cur, self._indexed_through(), -1):
+            if self._is_dead(sid, dead):
+                continue  # rolled back: neither index nor match it
             bid = self.manifest(sid)["batch_id"]
             self._write_batch_marker(bid, sid)
             if bid == batch_id:
@@ -587,7 +594,7 @@ class LakeTable:
         # refuse loudly rather than answer wrong.
         for sid in range(from_snapshot + 1, to_snapshot + 1):
             mode = (self.manifest(sid).get("metrics") or {}).get("merge_mode")
-            if mode in ("compact", "cow"):
+            if mode in ("compact", "cow", "rollback"):
                 raise ValueError(
                     f"incremental window ({from_snapshot}, {to_snapshot}] spans "
                     f"a rewrite commit (snapshot {sid}, merge_mode={mode}); "
@@ -635,6 +642,109 @@ class LakeTable:
         return lww_dedup(
             out, key=key_names, strategy="argmax", order=["_commit_seq", "_offset"]
         )
+
+    def files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Data-file inventory of a snapshot as a DataFrame (Iceberg
+        ``.files`` metadata-table parity): path, bucket, schema version,
+        delta flag, plus on-disk size.  Driver-side manifest read — one
+        tiny JSON; sizes come through the IO seam (HEAD-equivalent)."""
+        import os as _os
+
+        m = self.manifest(snapshot_id)
+        rows = []
+        for f in m["files"]:
+            full = _os.path.join(self.root, f["path"])
+            rows.append(
+                {
+                    "path": f["path"],
+                    "bucket": f["bucket"],
+                    "schema_version": f["schema_version"],
+                    "is_delta": bool(f.get("delta")),
+                    "size_bytes": (
+                        _os.path.getsize(full) if self.io.exists(full) else None
+                    ),
+                }
+            )
+        schema = (
+            "path string, bucket int, schema_version int, is_delta boolean, "
+            "size_bytes long"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    def rollback(self, snapshot_id: int, batch_id: str | None = None) -> int:
+        """Roll the table back to ``snapshot_id`` — the bad-batch recovery
+        path.  Metadata-only and non-destructive (Iceberg
+        ``rollback_to_snapshot`` semantics): publishes a NEW snapshot whose
+        file set / schema / offsets are the target's, so history is
+        preserved and concurrent readers are never broken.
+
+        Idempotence interplay (the part a naive rollback gets wrong): the
+        rolled-back commits' batch ids must stop answering "already
+        committed" — the planner's content-addressed ``b{lo}-{hi}`` ids
+        would otherwise SKIP those batches on re-ingest (silent data loss).
+        The dead snapshot range is recorded in ``manifests/rollbacks.json``
+        BEFORE the rollback manifest publishes, and ``batch_committed``
+        consults it on both the marker fast path and the suffix walk.
+        Ordering makes every crash window safe: a dead range recorded for a
+        rollback that then failed to publish merely causes those batches to
+        be RE-APPLIED, which the LWW merge makes a semantic no-op — whereas
+        the reverse order could skip unapplied batches.  Marker files of
+        dead commits are deleted last, as pure garbage collection.
+
+        Single-admin operation (like ``vacuum``): concurrent rollbacks are
+        not CAS-protected against each other, concurrent ingest is (the
+        manifest publish is still the same CAS)."""
+        cur = self.current_snapshot_id()
+        if not 0 <= snapshot_id <= cur:
+            raise ValueError(f"cannot roll back to {snapshot_id}: current is {cur}")
+        if snapshot_id < self.vacuum_horizon():
+            raise ValueError(
+                f"cannot roll back below the vacuum horizon "
+                f"{self.vacuum_horizon()}: data files were expired"
+            )
+        target = self.manifest(snapshot_id)
+        dead_bids = [
+            self.manifest(s)["batch_id"] for s in range(snapshot_id + 1, cur + 1)
+        ]
+        # 1) record the dead range FIRST (see ordering argument above)
+        ranges = self._dead_ranges()
+        ranges.append({"dead_from": snapshot_id + 1, "dead_through": cur})
+        self.io.put_atomic(
+            os.path.join(self._manifest_dir, "rollbacks.json"),
+            json.dumps({"ranges": ranges}),
+        )
+        # 2) publish the rollback snapshot (normal CAS commit)
+        new_id = self.commit(
+            batch_id=batch_id or f"__rollback_to_{snapshot_id}_from_{cur}__",
+            expected_parent=cur,
+            replaced_buckets=set(range(self.n_buckets)),
+            new_files=list(target["files"]),
+            offsets=dict(target["offsets"]),
+            lineage={"rollback_of": snapshot_id},
+            metrics={"merge_mode": "rollback", "rolled_back_from": cur},
+            schema_version=target["schema_version"],
+            schemas=target["schemas"],
+        )
+        # 3) GC the dead markers (correctness no longer depends on this)
+        for bid in dead_bids:
+            marker = self._batch_marker_path(bid)
+            if self.io.exists(marker):
+                self.io.delete(marker)
+        return new_id
+
+    def _dead_ranges(self) -> list[dict]:
+        p = os.path.join(self._manifest_dir, "rollbacks.json")
+        if not self.io.exists(p):
+            return []
+        return json.loads(self.io.read_text(p))["ranges"]
+
+    def _is_dead(self, sid: int, ranges: list[dict] | None = None) -> bool:
+        """True if ``sid`` was rolled back (its batch no longer applied)."""
+        if ranges is None:
+            ranges = self._dead_ranges()
+        return any(r["dead_from"] <= sid <= r["dead_through"] for r in ranges)
+
+    # -- retention / GC --------------------------------------------------------
 
     # -- retention / GC --------------------------------------------------------
 

@@ -67,6 +67,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "equivalent JVM expression fast path)")
     p.add_argument("--show-history", action="store_true",
                    help="print the snapshot history after ingest")
+    p.add_argument("--rollback-to", type=int, default=None,
+                   help="roll the table back to this snapshot id before "
+                        "ingesting (bad-batch recovery: the rolled-back "
+                        "changelog range is re-applied by the same run)")
+    p.add_argument("--show-files", action="store_true",
+                   help="print the current snapshot's data-file inventory")
     p.add_argument("--incremental-from", type=int, default=None,
                    help="after ingest, print the row-count of the CDC-out "
                         "change feed since this snapshot id")
@@ -105,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.create(args.table, n_buckets=args.n_buckets)
     else:
         table = LakeTable(args.table)
+
+    if args.rollback_to is not None:
+        new_id = table.rollback(args.rollback_to)
+        print(f"rolled back to snapshot {args.rollback_to} "
+              f"(published as snapshot {new_id})")
 
     if args.mode == "batch":
         results = ingest_changelog(
@@ -156,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             ).count()
         except ValueError as e:  # window spans a rewrite (cow/compaction)
             summary["incremental_error"] = str(e)
+    if args.show_files:
+        table.files(spark).show(100, truncate=False)
     print(json.dumps(summary))
     if args.show_history:
         for row in table.history(spark).orderBy("snapshot_id").collect():
