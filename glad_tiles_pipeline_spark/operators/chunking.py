@@ -52,7 +52,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
     stride = chunk_tokens - overlap
-    toks = _tokens(F.col(text_col))
+    # NULL text is canonicalized to '' so both twins yield one (0, 1, '')
+    # chunk (bare split(NULL) would NULL-poison size/slice downstream)
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
     windows = F.transform(
         _chunk_starts(toks, chunk_tokens, stride),
         lambda s: F.slice(toks, s, chunk_tokens),

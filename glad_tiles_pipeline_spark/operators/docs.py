@@ -39,7 +39,7 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")
 
 
-_FAN_OUT_PARTS_CACHE: dict[int, int] = {}
+_FAN_OUT_PARTS_CACHE: dict[tuple, int] = {}
 
 
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
@@ -52,14 +52,16 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     is already wide enough.
 
     The width probe (``df.rdd.getNumPartitions``) forces a DataFrame→RDD
-    plan translation, so its result is memoized by the plan's semantic hash
-    — repeated calls on the same scan (every query in a suite run) pay it
-    once.  All call sites hand fan_out a scan-rooted frame, where the split
-    count is fixed at planning time (AQE only re-plans *shuffle* reads), so
-    the memo cannot go stale mid-session and the probe never mis-reads an
-    adaptive partition count."""
+    plan translation, so its result is memoized — repeated calls on the
+    same scan (every query in a suite run) pay it once.  The memo key is
+    (plan semantic hash, leaf file listing): the semantic hash alone
+    canonicalizes a re-scan of the same PATH to the same key even after
+    the path's file set was rewritten, which would revive a stale width.
+    All call sites hand fan_out a scan-rooted frame, where the split count
+    is fixed at planning time (AQE only re-plans *shuffle* reads), so the
+    probe never mis-reads an adaptive partition count."""
     parts = parts or df.sparkSession.sparkContext.defaultParallelism
-    key = df.semanticHash()
+    key = (df.semanticHash(), hash(tuple(sorted(df.inputFiles()))))
     width = _FAN_OUT_PARTS_CACHE.get(key)
     if width is None:
         width = df.rdd.getNumPartitions()

@@ -140,6 +140,10 @@ class ManifestIO:
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """Object size in bytes (S3: HEAD's Content-Length)."""
+        raise NotImplementedError
+
     def walk_data_files(self, root: str):
         """Yield (abs_path, size_bytes, mtime_epoch) for every file under
         ``root``, depth-first so empty dirs can be pruned afterwards."""
@@ -182,13 +186,22 @@ class LocalManifestIO(ManifestIO):
             os.unlink(tmp)
 
     def put_atomic(self, path: str, data: str) -> None:
+        # fsync before the rename: rollback's ordering argument ("dead
+        # range recorded BEFORE the manifest publishes") must hold across
+        # power loss, so this write may not be reordered after a later
+        # durable put_if_absent
         tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
 
     def delete(self, path: str) -> None:
         os.unlink(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     def walk_data_files(self, root: str):
         for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
@@ -305,11 +318,20 @@ class LakeTable:
 
     def _write_batch_marker(self, batch_id: str, snapshot_id: int) -> None:
         """Create-if-absent marker (idempotent; racers write identical
-        content, so a lost CAS is success)."""
-        self.io.put_if_absent(
-            self._batch_marker_path(batch_id),
-            json.dumps({"batch_id": batch_id, "snapshot_id": snapshot_id}),
-        )
+        content, so a lost CAS is success).  One exception needs an
+        overwrite: a stale marker pointing at a ROLLED-BACK snapshot (crash
+        between rollback publish and marker GC) must not shadow the batch's
+        re-commit — left in place it would make ``batch_committed`` answer
+        None forever (fast path sees dead, suffix walk can't win the CAS),
+        re-applying the batch on every replay."""
+        final = self._batch_marker_path(batch_id)
+        payload = json.dumps({"batch_id": batch_id, "snapshot_id": snapshot_id})
+        if not self.io.put_if_absent(final, payload):
+            rec = json.loads(self.io.read_text(final))
+            if rec["batch_id"] == batch_id and self._is_dead(
+                int(rec["snapshot_id"])
+            ):
+                self.io.put_atomic(final, payload)
 
     def _indexed_through(self) -> int:
         p = os.path.join(self._manifest_dir, "indexed_through.json")
@@ -648,12 +670,10 @@ class LakeTable:
         ``.files`` metadata-table parity): path, bucket, schema version,
         delta flag, plus on-disk size.  Driver-side manifest read — one
         tiny JSON; sizes come through the IO seam (HEAD-equivalent)."""
-        import os as _os
-
         m = self.manifest(snapshot_id)
         rows = []
         for f in m["files"]:
-            full = _os.path.join(self.root, f["path"])
+            full = os.path.join(self.root, f["path"])
             rows.append(
                 {
                     "path": f["path"],
@@ -661,7 +681,7 @@ class LakeTable:
                     "schema_version": f["schema_version"],
                     "is_delta": bool(f.get("delta")),
                     "size_bytes": (
-                        _os.path.getsize(full) if self.io.exists(full) else None
+                        self.io.size(full) if self.io.exists(full) else None
                     ),
                 }
             )
@@ -707,24 +727,33 @@ class LakeTable:
             self.manifest(s)["batch_id"] for s in range(snapshot_id + 1, cur + 1)
         ]
         # 1) record the dead range FIRST (see ordering argument above)
-        ranges = self._dead_ranges()
-        ranges.append({"dead_from": snapshot_id + 1, "dead_through": cur})
+        prev_ranges = self._dead_ranges()
+        rb_path = os.path.join(self._manifest_dir, "rollbacks.json")
         self.io.put_atomic(
-            os.path.join(self._manifest_dir, "rollbacks.json"),
-            json.dumps({"ranges": ranges}),
+            rb_path,
+            json.dumps({"ranges": prev_ranges
+                        + [{"dead_from": snapshot_id + 1, "dead_through": cur}]}),
         )
-        # 2) publish the rollback snapshot (normal CAS commit)
-        new_id = self.commit(
-            batch_id=batch_id or f"__rollback_to_{snapshot_id}_from_{cur}__",
-            expected_parent=cur,
-            replaced_buckets=set(range(self.n_buckets)),
-            new_files=list(target["files"]),
-            offsets=dict(target["offsets"]),
-            lineage={"rollback_of": snapshot_id},
-            metrics={"merge_mode": "rollback", "rolled_back_from": cur},
-            schema_version=target["schema_version"],
-            schemas=target["schemas"],
-        )
+        # 2) publish the rollback snapshot (normal CAS commit).  On a lost
+        # race the rollback did NOT happen — un-record the dead range so
+        # the still-live snapshots don't read as rolled back (a crash in
+        # this window leaves the range recorded, which only costs a
+        # harmless LWW re-apply of those batches; see ordering note).
+        try:
+            new_id = self.commit(
+                batch_id=batch_id or f"__rollback_to_{snapshot_id}_from_{cur}__",
+                expected_parent=cur,
+                replaced_buckets=set(range(self.n_buckets)),
+                new_files=list(target["files"]),
+                offsets=dict(target["offsets"]),
+                lineage={"rollback_of": snapshot_id},
+                metrics={"merge_mode": "rollback", "rolled_back_from": cur},
+                schema_version=target["schema_version"],
+                schemas=target["schemas"],
+            )
+        except CommitConflict:
+            self.io.put_atomic(rb_path, json.dumps({"ranges": prev_ranges}))
+            raise
         # 3) GC the dead markers (correctness no longer depends on this)
         for bid in dead_bids:
             marker = self._batch_marker_path(bid)
@@ -805,7 +834,9 @@ class LakeTable:
                 touched_dirs.append(d)
         for d in touched_dirs:  # prune now-empty commit dirs (no-op on S3)
             self.io.rmdir_if_empty(d)
-            self.io.rmdir_if_empty(os.path.dirname(d))
+            parent = os.path.dirname(d)
+            if parent != data_root:  # never remove <root>/data itself
+                self.io.rmdir_if_empty(parent)
 
         marker = {"vacuum_horizon": horizon, "vacuumed_at": now,
                   "removed_files": removed_files, "removed_bytes": removed_bytes}

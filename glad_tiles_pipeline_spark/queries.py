@@ -572,11 +572,15 @@ def q_fn_json_roundtrip(spark, sf_dir):
     extracted = ev.select(
         F.json_tuple(F.col("props"), "k").alias("k_str"), "event_type"
     )
+    # ignoreNullFields=false: Spark's default OMITS null fields while
+    # DuckDB's to_json renders "k":null — a malformed/absent props.k would
+    # otherwise silently diverge the group keys between the two engines
     rebuilt = F.to_json(
         F.struct(
             F.col("k_str").cast("int").alias("k"),
             F.col("event_type").alias("et"),
-        )
+        ),
+        {"ignoreNullFields": "false"},
     )
     return (
         extracted.groupBy(rebuilt.alias("rebuilt"))
@@ -1169,10 +1173,10 @@ _ALL_ORACLES: dict[str, str] = {
                count(*) FILTER (o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY 1""",
     "text_chunk_windows": r"""
-        WITH t AS (
+        WITH t AS (  -- coalesce: NULL text canonicalizes to '' (both twins)
           SELECT doc_id,
-                 string_split_regex(lower(trim(text)), '\s+') AS toks,
-                 greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS n
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks,
+                 greatest(len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')), 1) AS n
           FROM documents),
         w AS (
           SELECT doc_id, toks,

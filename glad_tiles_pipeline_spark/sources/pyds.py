@@ -144,6 +144,8 @@ class CdcGenBatchReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", 8))
 
     def partitions(self):
+        if self.n_events <= 0:  # empty source, parity with the stream twin
+            return [_Range(0, 0)]
         step = -(-self.n_events // self.num_partitions)  # ceil
         return [
             _Range(lo, min(lo + step, self.n_events))

@@ -113,6 +113,17 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(args.table)
 
     if args.rollback_to is not None:
+        if args.mode == "stream" and args.checkpoint is None:
+            # the default stream checkpoint already marks the rolled-back
+            # changelog files as processed, so the restored range would
+            # never be re-fed (the file source only reads NEW files) — the
+            # table would silently diverge.  Batch mode re-reads the whole
+            # log; a stream recovery needs a FRESH checkpoint dir.
+            raise SystemExit(
+                "--rollback-to with --mode stream requires an explicit "
+                "fresh --checkpoint dir (the default checkpoint would skip "
+                "re-feeding the rolled-back range); or use --mode batch"
+            )
         new_id = table.rollback(args.rollback_to)
         print(f"rolled back to snapshot {args.rollback_to} "
               f"(published as snapshot {new_id})")

@@ -27,9 +27,11 @@ def test_expression_and_udtf_twins_agree(spark, docs):
 
 
 def test_edge_cases_match(spark):
-    """Empty / whitespace-only / single-token / exactly-one-window docs."""
+    """NULL / empty / whitespace-only / single-token / exactly-one-window
+    docs (NULL canonicalizes to '' on BOTH twins)."""
     edge = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "solo"), (4, " ".join(f"t{i}" for i in range(24))),
+        [(0, None),
+         (1, ""), (2, "   "), (3, "solo"), (4, " ".join(f"t{i}" for i in range(24))),
          (5, " ".join(f"t{i}" for i in range(25)))],
         "doc_id long, text string",
     )
@@ -37,7 +39,9 @@ def test_edge_cases_match(spark):
     b = chunk_documents_udtf(edge, chunk_tokens=24, overlap=8)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     rows = {r.doc_id: r for r in a.groupBy("doc_id").count().collect()}
-    assert rows[1]["count"] == 1 and rows[3]["count"] == 1
+    assert rows[0]["count"] == 1 and rows[1]["count"] == 1 and rows[3]["count"] == 1
+    null_row = a.filter(F.col("doc_id") == 0).collect()[0]
+    assert (null_row.chunk_idx, null_row.n_tokens, null_row.chunk_text) == (0, 1, "")
     assert rows[4]["count"] == 1  # exactly one full window
     assert rows[5]["count"] == 2  # one token spills into a second window
 

@@ -42,6 +42,10 @@ def test_batch_read_shape_and_determinism(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_empty_source_reads_zero_rows(spark):
+    assert _batch(spark, n=0).count() == 0
+
+
 def test_event_semantics_match_s6_contract(spark):
     df = _batch(spark).cache()
     try:

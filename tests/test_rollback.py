@@ -81,6 +81,39 @@ def test_rollback_idempotence_crash_window(spark, tmp_path, setup):
     live_bid = table.manifest(3)["batch_id"]
     assert table.batch_committed(live_bid) == 3
 
+    # re-ingest re-applies the batch AND repairs the stale dead marker:
+    # the fencing must work again afterwards (a pure create-if-absent
+    # marker write would lose to the stale file and re-apply forever)
+    res = ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor")
+    assert len([r for r in res if not r.get("skipped")]) == 1
+    new_sid = table.batch_committed(dead_bid)
+    assert new_sid is not None and not table._is_dead(new_sid)
+    res2 = ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor")
+    assert [r for r in res2 if not r.get("skipped")] == []
+
+
+def test_rollback_commit_conflict_unrecords_dead_range(spark, setup):
+    """A rollback that loses the commit CAS must not leave live snapshots
+    flagged dead (they are still applied state)."""
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict, LakeTable
+
+    table, _ = setup
+    before = table._dead_ranges()
+
+    real_commit = LakeTable.commit
+    def conflict(self, **kw):
+        raise CommitConflict("simulated racer")
+    LakeTable.commit = conflict
+    try:
+        with pytest.raises(CommitConflict):
+            table.rollback(2)
+    finally:
+        LakeTable.commit = real_commit
+    assert table._dead_ranges() == before
+    # every batch still answers committed
+    for sid in range(1, table.current_snapshot_id() + 1):
+        assert table.batch_committed(table.manifest(sid)["batch_id"]) == sid
+
 
 def test_rollback_validation(spark, setup):
     table, _ = setup
