@@ -218,6 +218,88 @@ class LocalManifestIO(ManifestIO):
             os.rmdir(path)
 
 
+class InMemoryManifestIO(ManifestIO):
+    """Second real backend, proving the seam is complete: ALL metadata
+    (manifests, batch-index markers, vacuum/rollback records) lives in a
+    process-local dict — the shape of the Dynamo/catalog half of an S3
+    deployment — while data files stay on the filesystem Spark executors
+    write to.  Any metadata access that bypassed the seam would hit disk
+    and fail the no-files-on-disk assertion in tests/test_manifest_io.py.
+
+    Routing: paths under ``<root>/manifests`` plus the root-level
+    bookkeeping JSONs are metadata; everything else (the ``data/`` tree)
+    delegates to the local filesystem.  Single-process by construction —
+    the CAS is a dict setdefault — which is exactly a catalog's job in the
+    real deployment."""
+
+    _META_BASENAMES = ("vacuum.json",)
+
+    def __init__(self, root: str):
+        self.root = root
+        self._meta: dict[str, str] = {}
+        self._dirs: set[str] = set()
+        self._local = LocalManifestIO()
+
+    def _is_meta(self, path: str) -> bool:
+        rel = os.path.relpath(path, self.root)
+        return rel.split(os.sep)[0] == "manifests" or rel in self._META_BASENAMES
+
+    def read_text(self, path: str) -> str:
+        if self._is_meta(path):
+            return self._meta[path]
+        return self._local.read_text(path)
+
+    def exists(self, path: str) -> bool:
+        if self._is_meta(path):
+            return path in self._meta or path in self._dirs
+        return self._local.exists(path)
+
+    def list_names(self, dirpath: str) -> list[str]:
+        if self._is_meta(dirpath):
+            pre = dirpath.rstrip(os.sep) + os.sep
+            return sorted(
+                {p[len(pre):].split(os.sep)[0] for p in self._meta if p.startswith(pre)}
+            )
+        return self._local.list_names(dirpath)
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        if self._is_meta(path):
+            return self._meta.setdefault(path, data) is data
+        return self._local.put_if_absent(path, data)
+
+    def put_atomic(self, path: str, data: str) -> None:
+        if self._is_meta(path):
+            self._meta[path] = data
+        else:
+            self._local.put_atomic(path, data)
+
+    def delete(self, path: str) -> None:
+        if self._is_meta(path):
+            del self._meta[path]
+        else:
+            self._local.delete(path)
+
+    def size(self, path: str) -> int:
+        if self._is_meta(path):
+            return len(self._meta[path])
+        return self._local.size(path)
+
+    def walk_data_files(self, root: str):
+        return self._local.walk_data_files(root)
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        if self._is_meta(path):
+            if not exist_ok and path in self._dirs:
+                raise FileExistsError(path)
+            self._dirs.add(path)
+        else:
+            self._local.makedirs(path, exist_ok=exist_ok)
+
+    def rmdir_if_empty(self, path: str) -> None:
+        if not self._is_meta(path):
+            self._local.rmdir_if_empty(path)
+
+
 class LakeTable:
     """Snapshot-versioned Parquet table with manifest-log commits."""
 

@@ -72,6 +72,49 @@ def test_vacuum_deletes_through_seam(spark, ingested):
     assert io.calls.get("delete", 0) - before == res["removed_files"]
 
 
+def test_in_memory_backend_runs_full_lifecycle(spark, tmp_path):
+    """The seam-completeness proof: with ALL metadata in a dict (the
+    catalog half of an S3 deployment), ingest → scan → rollback →
+    re-ingest → vacuum work end-to-end and NO metadata file ever touches
+    disk.  Any direct os.* metadata access in LakeTable would either
+    crash (manifest missing on disk) or fail the no-files assertion."""
+    import os
+
+    from glad_tiles_pipeline_spark.plans.lake import InMemoryManifestIO
+    from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+    from glad_tiles_pipeline_spark.operators.merge import compact
+
+    work = tmp_path / "mem"
+    log = str(work / "log")
+    change_log(spark, 4000).write.parquet(log)
+    root = str(work / "table")
+    io = InMemoryManifestIO(root)
+    table = LakeTable.create(root, n_buckets=4, io=io)
+    ingest_changelog(spark, table, log, batch_size=1500, merge_mode="mor")
+
+    assert not os.path.exists(os.path.join(root, "manifests")), (
+        "metadata leaked to disk — some LakeTable path bypassed ManifestIO"
+    )
+    got = table.scan(spark)
+    want = oracle_state_df(spark, spark.read.parquet(log))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # rollback + healing re-ingest through the same in-memory catalog
+    table.rollback(1)
+    res = ingest_changelog(spark, table, log, batch_size=1500, merge_mode="mor")
+    assert len([r for r in res if not r.get("skipped")]) == 2
+    got = table.scan(spark)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # compaction + vacuum: data-file ops delegate to the filesystem
+    compact(spark, table)
+    removed = table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert removed["removed_files"] > 0
+    assert table.files(spark).count() > 0
+    assert not os.path.exists(os.path.join(root, "vacuum.json"))
+
+
 def test_incremental_rejects_malformed_windows(spark, ingested):
     table, _ = ingested
     cur = table.current_snapshot_id()
