@@ -646,6 +646,25 @@ def q_agg_pivot_status(spark, sf_dir):
     )
 
 
+def q_agg_unpivot_status(spark, sf_dir):
+    """A-family breadth: UNPIVOT (melt) — the pivot query's wide output
+    folded back to long form, dropping empty cells.  Exercises
+    ``DataFrame.unpivot`` (Spark 3.4+); the oracle is the plain long-form
+    aggregate it must reconstruct."""
+    wide = q_agg_pivot_status(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "o_orderpriority", ["n_f", "n_o", "n_p"], "status_col", "n_orders"
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderpriority",
+            F.upper(F.substring("status_col", 3, 1)).alias("o_orderstatus"),
+            "n_orders",
+        )
+    )
+
+
 def q_fn_dates(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1172,6 +1191,10 @@ _ALL_ORACLES: dict[str, str] = {
                count(*) FILTER (o_orderstatus = 'O') AS n_o,
                count(*) FILTER (o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY 1""",
+    "agg_unpivot_status": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2""",
     "text_chunk_windows": r"""
         WITH t AS (  -- coalesce: NULL text canonicalizes to '' (both twins)
           SELECT doc_id,
@@ -1350,6 +1373,7 @@ EXTRA_QUERIES = {
     # local-only, same DuckDB comparison
     "fn_map_props": q_fn_map_props,
     "agg_pivot_status": q_agg_pivot_status,
+    "agg_unpivot_status": q_agg_unpivot_status,
     "text_chunk_windows": q_text_chunks,
 }
 

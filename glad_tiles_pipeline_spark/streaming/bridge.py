@@ -63,9 +63,10 @@ def with_stream_hygiene(
 def stream_ingest(
     spark: SparkSession,
     table: LakeTable,
-    changelog_dir: str,
+    changelog_dir: str | None,
     checkpoint_dir: str,
     *,
+    source: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
     watermark: str | None = None,
     dedup_keys: list[str] | None = None,
@@ -94,9 +95,7 @@ def stream_ingest(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs
     )
 
-    events = read_changelog_stream(
-        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
-    )
+    events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
     events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
 
     query = (
@@ -110,12 +109,33 @@ def stream_ingest(
     return results
 
 
+def _resolve_source(
+    spark: SparkSession,
+    changelog_dir: str | None,
+    source: DataFrame | None,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """Either the default file-based changelog tail, or ANY caller-supplied
+    streaming DataFrame with the changelog schema (a Kafka reader, the
+    ``cdc_gen`` Python DataSource, ...) — the bridge is source-agnostic."""
+    if source is not None:
+        if not source.isStreaming:
+            raise ValueError("source must be a streaming DataFrame")
+        return source
+    if changelog_dir is None:
+        raise ValueError("need either changelog_dir or source")
+    return read_changelog_stream(
+        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+
 def stream_ingest_continuous(
     spark: SparkSession,
     table: LakeTable,
-    changelog_dir: str,
+    changelog_dir: str | None,
     checkpoint_dir: str,
     *,
+    source: DataFrame | None = None,
     processing_time: str = "1 second",
     max_files_per_trigger: int | None = None,
     watermark: str | None = None,
@@ -139,9 +159,7 @@ def stream_ingest_continuous(
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs
     )
-    events = read_changelog_stream(
-        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
-    )
+    events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
     events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
     query = (
         events.writeStream.foreachBatch(_apply)

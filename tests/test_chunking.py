@@ -84,6 +84,47 @@ def test_udtf_plans_arrow_not_pickle(spark, docs):
     assert "BatchEvalPythonUDTF" not in plan, plan
 
 
+def test_expression_twin_has_no_python_stage(spark, docs):
+    """The 100 TB path is pure JVM: no Arrow/pickle Python evaluation may
+    appear in the expression chunker's plan (the UDTF twin is the
+    deliberate Python surface)."""
+    plan = (
+        chunk_documents(docs, chunk_tokens=24, overlap=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan  # Batch- and Arrow- both
+
+
+def test_chunk_geometry_property(spark):
+    """Hypothesis: for arbitrary (chunk_tokens, overlap, doc length) the
+    geometry invariants hold — dense chunk_idx, full token coverage with
+    exactly `overlap` duplication between adjacent windows, and every
+    window except the last is full-size."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        chunk=st.integers(min_value=2, max_value=40),
+        ov_frac=st.floats(min_value=0.0, max_value=0.9),
+        n_toks=st.integers(min_value=0, max_value=200),
+    )
+    def check(chunk, ov_frac, n_toks):
+        ov = min(int(chunk * ov_frac), chunk - 1)
+        text = " ".join(f"w{i}" for i in range(n_toks))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=ov).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        n = max(n_toks, 1)  # empty text tokenizes to ['']
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert sum(r.n_tokens for r in rows) == n + ov * (len(rows) - 1)
+        assert all(r.n_tokens == chunk for r in rows[:-1])
+        assert 1 <= rows[-1].n_tokens <= chunk
+
+    check()
+
+
 def test_invalid_overlap_rejected(spark, docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=16, overlap=16)

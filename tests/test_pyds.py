@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.plans.lake import LakeTable
 from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
-from glad_tiles_pipeline_spark.operators.merge import apply_batch
 from glad_tiles_pipeline_spark.sources.pyds import CdcGenDataSource
 
 N = 6000
@@ -95,30 +94,20 @@ def test_stream_equals_batch(spark, tmp_path):
 
 
 def test_streamed_merge_matches_oracle(spark, tmp_path):
-    """The source feeding the real T6 path: foreachBatch MERGE of the
-    streamed feed must converge to the replay oracle of the batch read."""
+    """The source feeding the real T6 bridge through the PUBLIC API:
+    ``stream_ingest_continuous(source=<cdc_gen stream>)`` must converge to
+    the replay oracle of the batch read — the bridge is source-agnostic."""
+    from glad_tiles_pipeline_spark.streaming import stream_ingest_continuous
+
     table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
-
-    def _apply(batch_df, _bid):
-        if batch_df.isEmpty():
-            return
-        stats = batch_df.agg(
-            F.min("offset").alias("lo"), F.max("offset").alias("hi")
-        ).collect()[0]
-        apply_batch(
-            spark, table, batch_df,
-            batch_id=f"s{stats['lo']}-{stats['hi']}",
-            offsets={"lo": int(stats["lo"]), "hi": int(stats["hi"])},
-        )
-
-    q = (
+    feed = (
         spark.readStream.format("cdc_gen")
         .option("n_events", N).option("rows_per_batch", 2100)
         .load()
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="0 seconds")
-        .start()
+    )
+    query, results = stream_ingest_continuous(
+        spark, table, None, str(tmp_path / "ckpt"),
+        source=feed, processing_time="0 seconds",
     )
     try:
         t0 = time.monotonic()
@@ -128,9 +117,11 @@ def test_streamed_merge_matches_oracle(spark, tmp_path):
                 break
             time.sleep(0.3)
     finally:
-        q.stop()
-    q.awaitTermination()
+        query.stop()
+    query.awaitTermination()
     assert table.last_committed_offset() == N - 1
+    assert len(results) >= 2  # several live micro-batches, none skipped
+    assert not any(r.get("skipped") for r in results)
     got = table.scan(spark)
     want = oracle_state_df(spark, _batch(spark))
     assert got.exceptAll(want).count() == 0
