@@ -71,6 +71,54 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int = 64,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing — assign ordered chunks to token-budget bins
+    (context-window packing): a chunk that would overflow the current bin
+    opens the next one; an oversized chunk gets a bin of its own.  This is
+    inherently a sequential scan per document, which Spark's expression
+    language cannot fold (the bin depends on every previous chunk), so it
+    runs as an A7-style grouped ``applyInPandas``: one shuffle on the doc
+    key, then a vectorizable per-group pass.  Cross-document packing — one
+    global bin stream — is the stateful-stream variant
+    (``applyInPandasWithState`` over a partition key), deliberately out of
+    scope here: per-document bins are what training-data shuffling wants.
+
+    Output: (doc_id, chunk_idx, n_tokens, bin_idx).  The DuckDB oracle for
+    the EXTRA query is an exact recursive CTE over the same chunk stream —
+    the 'operator Spark lacks → Arrow grouped map + independently-computed
+    oracle' pattern."""
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        bins = []
+        b, fill = 0, 0
+        for t in pdf[size_col]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                b, fill = b + 1, 0
+            fill += t
+            bins.append(b)
+        pdf = pdf[[id_col, order_col, size_col]].copy()
+        pdf["bin_idx"] = bins
+        return pdf
+
+    return (
+        chunks.select(id_col, order_col, size_col)
+        .groupBy(id_col)
+        .applyInPandas(
+            _pack,
+            f"{id_col} long, {order_col} int, {size_col} int, bin_idx int",
+        )
+    )
+
+
 def chunk_documents_udtf(
     docs: DataFrame,
     chunk_tokens: int = 64,

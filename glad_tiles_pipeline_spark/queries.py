@@ -823,6 +823,22 @@ def q_text_chunks(spark, sf_dir):
     return chunk_documents(docs, chunk_tokens=24, overlap=8)
 
 
+def q_text_pack(spark, sf_dir):
+    """Sequence packing over the chunk stream: greedy token-budget bins of
+    capacity 64 per document (operators/chunking.py::pack_chunks, an
+    applyInPandas grouped map).  The oracle recomputes the same greedy scan
+    with a recursive CTE — fully independent implementations."""
+    from glad_tiles_pipeline_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(
+        chunk_documents(docs, chunk_tokens=24, overlap=8), capacity=64
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -986,6 +1002,26 @@ WHERE rnk <= 5
 """
 
 from glad_tiles_pipeline_spark.functions.text import normalize_lang_sql as _nls  # noqa: E402
+
+# Shared by text_chunk_windows and (as the input CTE) text_pack_greedy.
+# coalesce: NULL text canonicalizes to '' (both chunking twins do the same).
+_CHUNK_SQL = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks,
+                 greatest(len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')), 1) AS n
+          FROM documents),
+        w AS (
+          SELECT doc_id, toks,
+                 CAST(unnest(range(0, greatest(
+                     CAST(ceil((n - 24) / 16.0) AS INT) + 1, 1))) AS INT)
+                   AS chunk_idx
+          FROM t)
+        SELECT doc_id, chunk_idx,
+               len(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 24]) AS n_tokens,
+               array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 24], ' ')
+                 AS chunk_text
+        FROM w"""
 
 _ALL_ORACLES: dict[str, str] = {
     "lww_dedup_window": LWW_SQL,
@@ -1195,23 +1231,24 @@ _ALL_ORACLES: dict[str, str] = {
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders
         FROM orders GROUP BY 1, 2""",
-    "text_chunk_windows": r"""
-        WITH t AS (  -- coalesce: NULL text canonicalizes to '' (both twins)
-          SELECT doc_id,
-                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks,
-                 greatest(len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')), 1) AS n
-          FROM documents),
-        w AS (
-          SELECT doc_id, toks,
-                 CAST(unnest(range(0, greatest(
-                     CAST(ceil((n - 24) / 16.0) AS INT) + 1, 1))) AS INT)
-                   AS chunk_idx
-          FROM t)
-        SELECT doc_id, chunk_idx,
-               len(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 24]) AS n_tokens,
-               array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 24], ' ')
-                 AS chunk_text
-        FROM w""",
+    "text_chunk_windows": _CHUNK_SQL,
+    "text_pack_greedy": f"""
+        WITH RECURSIVE chunks AS ({_CHUNK_SQL}),
+        pack AS (
+          SELECT doc_id, chunk_idx, n_tokens, 0 AS bin_idx,
+                 n_tokens AS fill
+          FROM chunks WHERE chunk_idx = 0
+          UNION ALL
+          SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+                 CASE WHEN p.fill + c.n_tokens > 64
+                      THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                 CASE WHEN p.fill + c.n_tokens > 64
+                      THEN c.n_tokens ELSE p.fill + c.n_tokens END
+          FROM chunks c
+          JOIN pack p ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1
+        )
+        SELECT doc_id, chunk_idx, n_tokens, CAST(bin_idx AS INT) AS bin_idx
+        FROM pack""",
     "fn_sha256_docs": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "fn_lang_normalize": f"""
         SELECT {_nls('lang')} AS lang, count(*) AS n_docs
@@ -1375,6 +1412,7 @@ EXTRA_QUERIES = {
     "agg_pivot_status": q_agg_pivot_status,
     "agg_unpivot_status": q_agg_unpivot_status,
     "text_chunk_windows": q_text_chunks,
+    "text_pack_greedy": q_text_pack,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"

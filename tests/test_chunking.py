@@ -4,6 +4,7 @@ invariants, and the Arrow mandate on the UDTF plan."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.operators.chunking import (
@@ -123,6 +124,38 @@ def test_chunk_geometry_property(spark):
         assert 1 <= rows[-1].n_tokens <= chunk
 
     check()
+
+
+def test_pack_chunks_invariants(spark, docs):
+    """Greedy packing: bins never exceed capacity (except a single
+    oversized chunk), bin ids are dense and non-decreasing in chunk order,
+    and every chunk is assigned exactly once."""
+    from glad_tiles_pipeline_spark.operators.chunking import pack_chunks
+
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=8)
+    packed = pack_chunks(chunks, capacity=64)
+    assert packed.count() == chunks.count()
+
+    fills = packed.groupBy("doc_id", "bin_idx").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n_chunks")
+    )
+    oversized = fills.filter((F.col("fill") > 64) & (F.col("n_chunks") > 1))
+    assert oversized.count() == 0
+    # dense bins 0..max per doc
+    bad = (
+        fills.groupBy("doc_id")
+        .agg(F.countDistinct("bin_idx").alias("n"), F.max("bin_idx").alias("mx"))
+        .filter(F.col("n") != F.col("mx") + 1)
+    )
+    assert bad.count() == 0
+    # monotone: bin_idx never decreases along chunk order
+    w_prev = F.lag("bin_idx").over(
+        Window.partitionBy("doc_id").orderBy("chunk_idx")
+    )
+    dec = packed.withColumn("prev", w_prev).filter(
+        F.col("prev").isNotNull() & (F.col("bin_idx") < F.col("prev"))
+    )
+    assert dec.count() == 0
 
 
 def test_invalid_overlap_rejected(spark, docs):
