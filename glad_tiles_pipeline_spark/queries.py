@@ -1210,7 +1210,9 @@ _ALL_ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type""",
     "fn_json_extract": """
-        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        -- pmod-equivalent, same reasoning as fn_from_json_props (ADVICE r2)
+        SELECT ((CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) + 10) % 10
+                 AS k_mod,
                count(*) AS n
         FROM events GROUP BY 1""",
     "fn_date_trunc": """
