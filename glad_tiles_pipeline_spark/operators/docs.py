@@ -54,16 +54,34 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     The width probe (``df.rdd.getNumPartitions``) forces a DataFrame→RDD
     plan translation, so its result is memoized — repeated calls on the
     same scan (every query in a suite run) pay it once.  The memo key is
-    (plan semantic hash, leaf file listing): the semantic hash alone
-    canonicalizes a re-scan of the same PATH to the same key even after
-    the path's file set was rewritten, which would revive a stale width.
+    (plan semantic hash, leaf file listing with per-file size+mtime): the
+    semantic hash alone canonicalizes a re-scan of the same PATH to the
+    same key even after the path's file set was rewritten — or overwritten
+    in place under the same names — which would revive a stale width.  The
+    memo is bounded (cleared past 256 entries): a re-probe beats stale
+    growth in long-lived services.
     All call sites hand fan_out a scan-rooted frame, where the split count
     is fixed at planning time (AQE only re-plans *shuffle* reads), so the
     probe never mis-reads an adaptive partition count."""
+    import os
+
     parts = parts or df.sparkSession.sparkContext.defaultParallelism
-    key = (df.semanticHash(), hash(tuple(sorted(df.inputFiles()))))
+
+    def _stat(uri: str) -> tuple:
+        # paths alone can't detect an in-place rewrite under the same
+        # names; fold in (size, mtime) when the file is locally statable
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(p)
+            return (uri, st.st_size, int(st.st_mtime_ns))
+        except OSError:
+            return (uri, -1, -1)
+
+    key = (df.semanticHash(), hash(tuple(sorted(map(_stat, df.inputFiles())))))
     width = _FAN_OUT_PARTS_CACHE.get(key)
     if width is None:
+        if len(_FAN_OUT_PARTS_CACHE) >= 256:  # bound: re-probe beats stale growth
+            _FAN_OUT_PARTS_CACHE.clear()
         width = df.rdd.getNumPartitions()
         _FAN_OUT_PARTS_CACHE[key] = width
     if width >= parts:

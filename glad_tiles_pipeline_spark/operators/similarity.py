@@ -67,16 +67,24 @@ def cosine_udf():
                 out = num / np.sqrt(
                     np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
                 )
-            return pd.Series(out)
+            # zero-norm (or NaN-element) rows must surface as NULL, not NaN:
+            # Spark sorts NaN above every double, so a NaN sim would float a
+            # degenerate vector to rank 1 under desc('sim')
+            return pd.Series(out).where(np.isfinite(out))
         vals = []
         for x, y in zip(av, bv):
             if x is None or y is None or len(x) != len(y):
                 vals.append(None)
                 continue
-            xa = np.asarray(x, dtype=np.float64)
-            ya = np.asarray(y, dtype=np.float64)
+            try:
+                xa = np.asarray(x, dtype=np.float64)
+                ya = np.asarray(y, dtype=np.float64)
+            except (TypeError, ValueError):  # NULL element inside a vector
+                vals.append(None)
+                continue
             den = np.sqrt(xa @ xa) * np.sqrt(ya @ ya)
-            vals.append(float(xa @ ya / den) if den else None)
+            sim = float(xa @ ya / den) if den else None
+            vals.append(sim if sim is not None and np.isfinite(sim) else None)
         return pd.Series(vals, dtype="float64")
 
     return F.pandas_udf(_cos, returnType=DoubleType())

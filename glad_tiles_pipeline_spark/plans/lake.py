@@ -170,6 +170,17 @@ class LocalManifestIO(ManifestIO):
     def list_names(self, dirpath: str) -> list[str]:
         return os.listdir(dirpath)
 
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        # the rename/link itself lives in the parent directory's entry
+        # table; without this fsync the file contents are durable but the
+        # *name* can be lost or reordered on power loss
+        fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def put_if_absent(self, path: str, data: str) -> bool:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -179,6 +190,7 @@ class LocalManifestIO(ManifestIO):
             os.fsync(f.fileno())
         try:
             os.link(tmp, path)
+            self._fsync_dir(path)
             return True
         except FileExistsError:
             return False
@@ -186,16 +198,18 @@ class LocalManifestIO(ManifestIO):
             os.unlink(tmp)
 
     def put_atomic(self, path: str, data: str) -> None:
-        # fsync before the rename: rollback's ordering argument ("dead
-        # range recorded BEFORE the manifest publishes") must hold across
-        # power loss, so this write may not be reordered after a later
-        # durable put_if_absent
+        # fsync file THEN rename THEN fsync the parent dir: rollback's
+        # ordering argument ("dead range recorded BEFORE the manifest
+        # publishes") must hold across power loss, so neither the contents
+        # nor the rename may be reordered after a later durable
+        # put_if_absent
         tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(data)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        self._fsync_dir(path)
 
     def delete(self, path: str) -> None:
         os.unlink(path)
@@ -264,7 +278,13 @@ class InMemoryManifestIO(ManifestIO):
 
     def put_if_absent(self, path: str, data: str) -> bool:
         if self._is_meta(path):
-            return self._meta.setdefault(path, data) is data
+            # explicit membership check, NOT `setdefault(...) is data`: an
+            # identity test falsely reports a CAS win when a retry passes
+            # the same (or interned-equal) string object already stored
+            if path in self._meta:
+                return False
+            self._meta[path] = data
+            return True
         return self._local.put_if_absent(path, data)
 
     def put_atomic(self, path: str, data: str) -> None:
@@ -854,8 +874,6 @@ class LakeTable:
         if ranges is None:
             ranges = self._dead_ranges()
         return any(r["dead_from"] <= sid <= r["dead_through"] for r in ranges)
-
-    # -- retention / GC --------------------------------------------------------
 
     # -- retention / GC --------------------------------------------------------
 

@@ -126,3 +126,19 @@ def test_incremental_rejects_malformed_windows(spark, ingested):
         table.incremental(spark, from_snapshot=0, to_snapshot=cur + 1)
     with pytest.raises(ValueError, match="invalid incremental window"):
         table.incremental(spark, from_snapshot=-1, to_snapshot=cur)
+
+
+def test_inmemory_cas_rejects_same_object_retry(tmp_path):
+    """put_if_absent must be a membership CAS, not an identity test: a retry
+    handing back the SAME string object (a real failure mode — callers keep
+    the serialized manifest and retry on timeout) must lose, or two commits
+    could both believe they published the same snapshot."""
+    from glad_tiles_pipeline_spark.plans.lake import InMemoryManifestIO
+
+    io = InMemoryManifestIO(str(tmp_path))
+    path = str(tmp_path / "manifests" / "v1.json")
+    data = "payload"
+    assert io.put_if_absent(path, data) is True
+    assert io.put_if_absent(path, data) is False        # same object
+    assert io.put_if_absent(path, "pay" + "load") is False  # equal string
+    assert io.read_text(path) == "payload"

@@ -159,3 +159,53 @@ def test_length_band_blocks_bounded(docs):
     }
     missed = exact - cands
     assert not missed, f"length banding missed true near-dups: {sorted(missed)[:5]}"
+
+
+def test_cosine_udf_degenerate_rows_yield_null(spark):
+    """cosine_udf must match the HOF twin's NULL semantics on malformed /
+    degenerate inputs, in BOTH numpy paths:
+
+      * zero-norm vector → NULL, not NaN (rect fast path) — Spark orders
+        NaN above every double, so a NaN sim would float a zero vector to
+        rank 1 under desc('sim');
+      * a NULL element inside a vector → NULL, not an uncaught TypeError
+        killing the whole query (per-row fallback path).
+    """
+    from glad_tiles_pipeline_spark.operators.similarity import cosine_udf
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),     # sim 1.0
+        (2, [0.0, 0.0], [1.0, 2.0]),     # zero norm -> NULL
+        (3, [1.0, 2.0], [0.0, 0.0]),     # zero norm -> NULL
+        (4, None, [1.0, 2.0]),           # NULL vector -> NULL
+        (5, [1.0], [1.0, 2.0]),          # ragged -> NULL
+    ]
+    schema = "id int, a array<double>, b array<double>"
+    # rectangular batch (rows 1-3 all dim 2 once NULL/ragged fall back):
+    # exercise the rect path with only rows 1-3
+    rect = spark.createDataFrame([rows[0], rows[1], rows[2]], schema)
+    got = {
+        r.id: r.sim
+        for r in rect.select("id", cosine_udf()(F.col("a"), F.col("b")).alias("sim")).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None and got[3] is None
+    # mixed batch (forces the per-row fallback), plus an embedded NULL element
+    mixed = spark.createDataFrame(
+        rows + [(6, [1.0, None], [1.0, 2.0])], schema
+    )
+    got = {
+        r.id: r.sim
+        for r in mixed.select("id", cosine_udf()(F.col("a"), F.col("b")).alias("sim")).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert all(got[i] is None for i in (2, 3, 4, 5, 6))
+    # ordering property: NULL sim sorts LAST under desc, so a zero vector
+    # can never displace a real neighbor at rank 1
+    ordered = [
+        r.id
+        for r in mixed.select(
+            "id", cosine_udf()(F.col("a"), F.col("b")).alias("sim")
+        ).orderBy(F.desc("sim")).collect()
+    ]
+    assert ordered[0] == 1
