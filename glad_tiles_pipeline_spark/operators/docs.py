@@ -253,12 +253,21 @@ def ngram_jaccard_blocked(
     )
 
 
-def simhash32(col: Column) -> Column:
+def simhash32(col: Column, token_hash: str = "xxhash64") -> Column:
     """32-bit SimHash of the token list, as one bigint — per-row expression
     math, zero shuffles, SINGLE PASS: hash each token once (``transform``),
     fold the hashes into a 32-slot ±1 count vector with one ``aggregate``
     (count_i = Σ_tokens (bit_i(hash) ? +1 : -1)), then pack sign bits
     (bit i of the signature = count_i > 0).
+
+    ``token_hash`` picks the per-token hash: ``"xxhash64"`` (default, the
+    fast JVM intrinsic) or ``"sha256"`` — the low 32 bits of
+    ``conv(substr(sha2(tok, 256), 1, 8), 16, 10)``, an expression DuckDB
+    reproduces verbatim (``CAST('0x' || substr(sha256(tok), 1, 8) AS
+    BIGINT)``), making the whole signature — and therefore the near-dup
+    pair set — fully oracle-checkable instead of rows-only.  Both are
+    per-token JVM expressions; sha256 costs ~2× on the token hash but
+    identical shuffle/fold structure.
 
     The round-2 shape ran 32 independent ``aggregate`` passes — 32 token-
     list traversals and 32 xxhash64 evaluations per token per row, the most
@@ -267,8 +276,16 @@ def simhash32(col: Column) -> Column:
     lambda-bound columns, so the shifts go through ``F.call_function``
     (the PySpark ``shiftright``/``shiftleft`` wrappers only take Python-int
     amounts)."""
+    if token_hash == "xxhash64":
+        tok_h = lambda t: F.xxhash64(t)  # noqa: E731
+    elif token_hash == "sha256":
+        tok_h = lambda t: F.conv(  # noqa: E731
+            F.substring(F.sha2(t, 256), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     idx = F.sequence(F.lit(0), F.lit(31))
-    hashes = F.transform(_tokens(col), lambda t: F.xxhash64(t))
+    hashes = F.transform(_tokens(col), tok_h)
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 32),
@@ -299,6 +316,7 @@ def simhash_neardup(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: docs whose 32-bit signatures differ in ≤ max_hamming
     bits — EXACT for the radius, via pigeonhole multi-band blocking.
@@ -314,7 +332,9 @@ def simhash_neardup(
     (id, sig, band, band_bits) — slim columns only."""
     n_bands = max_hamming + 1
     width = (32 + n_bands - 1) // n_bands  # ceil: bands cover all 32 bits
-    sigs = fan_out(docs).select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    sigs = fan_out(docs).select(
+        F.col(id_col), simhash32(F.col(text_col), token_hash).alias("sig")
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -863,7 +863,14 @@ def q_dedup_minhash(spark, sf_dir):
     recall above it (pairs at j=0.9 miss with p ≈ 3e-5) and steeply decaying
     candidate volume below it.  Pair recall measured 1.0 on the fixtures
     (tests/test_similarity_recall.py asserts the floor); the round-1
-    (r=4, b=4) config measured 0.96 — banding is the recall knob."""
+    (r=4, b=4) config measured 0.96 — banding is the recall knob.
+
+    Oracle: the exact all-pairs Jaccard twin.  The output is post-exact-
+    verify (LSH only proposes candidates; Jaccard decides), so whenever
+    candidate recall is 1.0 — measured and equality-asserted at the driver
+    operating point by tests/test_similarity_recall.py::
+    test_minhash_equals_exact_at_driver_sf — the result is independent of
+    the xxhash64 LSH internals and DuckDB reproduces it exactly."""
     return minhash_neardup(
         _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=24, n_bands=8
     )
@@ -872,8 +879,17 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """Radius 3 covers every planted near-dup in the fixtures (their
     signatures sit at hamming 0-3); recall within the radius is 1.0 by
-    construction (pigeonhole banding, operators/docs.py)."""
-    return simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=3)
+    construction (pigeonhole banding, operators/docs.py).
+
+    Uses the sha256 token-hash spelling: the signature is then a pure
+    function of the text that DuckDB recomputes bit-for-bit (CAST('0x' ||
+    substr(sha256(tok),1,8) AS BIGINT) == conv(substr(sha2(tok,256),1,8),
+    16,10)), so the driver row is fully oracle-checked instead of
+    rows-only.  xxhash64 stays the default fast path of simhash32 for
+    production pipelines that don't need an external re-computation."""
+    return simhash_neardup(
+        _t(spark, sf_dir, "documents"), max_hamming=3, token_hash="sha256"
+    )
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -894,6 +910,12 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Oracle: the brute-force twin (_ANN_SQL).  The LSH stage only
+    proposes candidates; ranking is exact cosine, so whenever recall@k is
+    1.0 — measured and equality-asserted at the driver operating point by
+    tests/test_similarity_recall.py::test_ann_lsh_equals_bruteforce_at_driver_sf
+    — the top-k output is independent of the hash internals and DuckDB's
+    brute-force reproduces it exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(emb, queries, dim=64, k=5, n_bands=16, rows_per_band=2)
@@ -916,8 +938,11 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 # ===========================================================================
-# DuckDB oracle SQL — one entry per query above (SURVEY.md §5.1).  Keys with
-# no oracle (xxhash64-based LSH internals) get the driver's rows-only check.
+# DuckDB oracle SQL — one entry per query above (SURVEY.md §5.1).  Every
+# driver query has a full oracle as of round 4: the LSH-family outputs are
+# post-exact-verify with measured-and-asserted recall 1.0 at the driver
+# operating point, so their exact twins are valid oracles, and dedup_simhash
+# uses the sha256 token-hash spelling DuckDB recomputes bit-for-bit.
 # ===========================================================================
 
 _QUALITY_SQL = r"""
@@ -974,6 +999,58 @@ SELECT * FROM (
   FROM cand c JOIN s sa ON sa.doc_id = c.id_a
               JOIN s sb ON sb.doc_id = c.id_b
 ) WHERE jaccard >= 0.5
+"""
+
+# Exact all-pairs twin for dedup_minhash_lsh: the Spark output is post-
+# exact-Jaccard-verify, and candidate recall is 1.0 at the driver operating
+# point (equality-asserted in tests/test_similarity_recall.py), so all-pairs
+# Jaccard over the same 3-token shingles IS its exact oracle.
+_MINHASH_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 1) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+# Bit-for-bit sha256-token SimHash twin (operators/docs.py::simhash32 with
+# token_hash='sha256'): per-token hash = low 32 bits of the sha256 hex
+# prefix, count_i = Σ(bit_i ? +1 : -1), sig bit i set iff count_i > 0;
+# pairs at hamming ≤ 3 over the full 32-bit signatures.
+_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(sha256(t), 1, 8)) AS BIGINT) AS hv
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM h, range(0, 32) r(i) GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                  ELSE 0 END) AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 _COS = ("list_dot_product({a}, {b}) / "
@@ -1307,8 +1384,14 @@ _ALL_ORACLES: dict[str, str] = {
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "ann_bruteforce_topk": _ANN_SQL,
+    # ann_lsh_topk ranks LSH candidates by EXACT cosine; recall@k is 1.0 at
+    # the driver operating point (equality-asserted in
+    # tests/test_similarity_recall.py), so the brute-force twin is its oracle
+    "ann_lsh_topk": _ANN_SQL,
     "multimodal_decode_stub": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -1322,8 +1405,6 @@ _ALL_ORACLES: dict[str, str] = {
                       CAST(floor(i * (octet_length(encode(text)) / 4.0)) AS INT) + 1,
                       16) AS frame_bytes
         FROM documents, range(0, 4) r(i)""",
-    # no oracle (xxhash64-seeded internals are Spark-specific → rows-only):
-    #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
 }
 
 # ---------------------------------------------------------------------------

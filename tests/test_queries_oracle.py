@@ -92,13 +92,11 @@ def test_query_vs_oracle(spark, duck, name):
         )
 
 
-@pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"]
-)
-def test_rows_only_queries_run(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0  # runs, stable schema
-    assert len(df.columns) >= 2
+def test_no_rows_only_queries_remain():
+    """Round 4 promoted the last rows-only entries (dedup_minhash_lsh,
+    dedup_simhash, ann_lsh_topk) to full oracles: every driver query must
+    now have an oracle_sql() entry."""
+    assert set(entry_mod.oracle_sql()) == set(entry_mod.queries())
 
 
 def test_driver_registry_capped_at_50():

@@ -1,7 +1,10 @@
-"""Recall harness for the approximate (rows-only) operators — quantifies
-the three queries the driver can only rows-check (dedup_minhash_lsh,
-dedup_simhash, ann_lsh_topk) against their exact twins, and pins the
-recall regressions found in round 1:
+"""Recall harness for the approximate operators — quantifies the LSH-family
+queries against their exact twins.  As of round 4 these equalities are
+load-bearing: dedup_minhash_lsh / ann_lsh_topk / dedup_simhash all carry
+full exact-twin DuckDB oracles, licensed by the recall-1.0 /
+banding-exactness facts asserted here (at both sf0.001 and the driver's
+sf0.01 operating point).  Also pins the recall regressions found in
+round 1:
 
   * single-block SimHash missed every pair with a high-bit difference
     (pigeonhole banding now guarantees recall 1.0 within the radius);
@@ -72,11 +75,14 @@ def test_minhash_pair_recall(docs):
     assert found <= exact
 
 
-def test_simhash_banded_equals_exact(docs):
+@pytest.mark.parametrize("token_hash", ["xxhash64", "sha256"])
+def test_simhash_banded_equals_exact(docs, token_hash):
     """Pigeonhole banding is EXACT for the radius: banded result == brute
     all-pairs Hamming result, including pairs whose differing bits fall in
-    the high half (the round-1 single-block recall hole)."""
-    sigs = docs.select("doc_id", simhash32(F.col("text")).alias("sig"))
+    the high half (the round-1 single-block recall hole).  Both token-hash
+    spellings (xxhash64 fast path, sha256 oracle-checkable path) must hold
+    the same exactness."""
+    sigs = docs.select("doc_id", simhash32(F.col("text"), token_hash).alias("sig"))
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
     brute = (
@@ -93,7 +99,8 @@ def test_simhash_banded_equals_exact(docs):
         "precondition: fixture must contain pairs the single-block scheme missed"
     )
     got = {
-        (r.id_a, r.id_b) for r in simhash_neardup(docs, max_hamming=3).collect()
+        (r.id_a, r.id_b)
+        for r in simhash_neardup(docs, max_hamming=3, token_hash=token_hash).collect()
     }
     assert got == exact
 
@@ -209,3 +216,44 @@ def test_cosine_udf_degenerate_rows_yield_null(spark):
         ).orderBy(F.desc("sim")).collect()
     ]
     assert ordered[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# Driver-operating-point equality: these two equalities are what license the
+# exact-twin DuckDB oracles for dedup_minhash_lsh and ann_lsh_topk (their
+# outputs are post-exact-verify, so recall 1.0 ⇒ output == exact twin).
+# Run at sf0.01 — the SF the driver's CORRECTNESS gate uses.
+# ---------------------------------------------------------------------------
+
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_minhash_equals_exact_at_driver_sf(spark):
+    docs = spark.read.parquet(f"{DRIVER_SF_DIR}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, _all_pairs(docs), threshold=0.5).collect()
+    }
+    assert len(exact) > 0
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_neardup(
+            docs, threshold=0.5, n_hashes=24, n_bands=8
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ann_lsh_equals_bruteforce_at_driver_sf(spark):
+    emb = spark.read.parquet(f"{DRIVER_SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        tuple(r) for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        tuple(r)
+        for r in ann_lsh_topk(
+            emb, queries, dim=64, k=5, n_bands=16, rows_per_band=2
+        ).collect()
+    }
+    assert got == truth
