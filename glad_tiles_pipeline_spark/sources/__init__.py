@@ -5,9 +5,15 @@ from glad_tiles_pipeline_spark.sources.changelog import (
     write_changelog,
 )
 from glad_tiles_pipeline_spark.sources.pyds import CdcGenDataSource
+from glad_tiles_pipeline_spark.sources.lake_cdc import (
+    LakeCdcDataSource,
+    feed_as_changelog,
+)
 
 __all__ = [
     "CdcGenDataSource",
+    "LakeCdcDataSource",
+    "feed_as_changelog",
     "change_log",
     "read_changelog_batch",
     "read_changelog_stream",
