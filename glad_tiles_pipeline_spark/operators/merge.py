@@ -56,6 +56,39 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+# Columns whose per-file min/max ride the manifest (Iceberg per-file
+# column-stats parity): the LWW ordering metadata, so offset/commit_seq
+# windows over a snapshot scan can drop whole files without opening them.
+_STATS_COLS = ("_commit_seq", "_offset")
+
+
+def _parquet_meta(path: str) -> tuple[int, dict]:
+    """Footer-only read: row count + min/max of the LWW ordering columns.
+    Zero data IO — the stats are aggregated from row-group footers the
+    writer already produced; a column missing min/max in any row group is
+    simply omitted (readers treat missing stats conservatively)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list[int]] = {}
+    for col in _STATS_COLS:
+        ci = names.get(col)
+        if ci is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            stats[col] = [int(lo), int(hi)]
+    return md.num_rows, stats
+
+
 def plan_partition_ids(
     df: DataFrame,
     bucket_rows: dict[int, int],
@@ -157,7 +190,16 @@ def apply_batch(
     expected_parent = table.current_snapshot_id()
     parent_manifest = table.manifest(expected_parent)
     fields = table.current_fields()
-    n_buckets = table.n_buckets
+    write_gen, n_buckets = table.write_layout()
+    if merge_mode == "cow" and table.migration() is not None:
+        # CoW prunes the live scan by bucket id and replaces whole buckets —
+        # both ambiguous while two layout generations are live.  MoR appends
+        # pure deltas (routed under the new layout) and is exact throughout.
+        raise ValueError(
+            "cow ingest during an active re-bucketing migration is "
+            "unsupported; ingest with merge_mode='mor' until the migration "
+            "finishes"
+        )
     key_names = [f["name"] for f in fields if f["id"] in (1, 2)]  # repo, path ids
     target_parts = max(2 * spark.sparkContext.defaultParallelism, 1)
 
@@ -197,7 +239,14 @@ def apply_batch(
         }
     elif merge_mode == "mor":
         affected = None  # discovered from the written files
-        hist = (parent_manifest.get("metrics") or {}).get("bucket_rows") or {}
+        pm = parent_manifest.get("metrics") or {}
+        # the parent's per-bucket distribution only transfers if it was
+        # recorded under the SAME write layout — after a rebucket start the
+        # old generation's ids would mis-size the new layout's partitions
+        if int(pm.get("bucket_rows_gen", 1)) == write_gen:
+            hist = pm.get("bucket_rows") or {}
+        else:
+            hist = {}
         bucket_rows = {int(k): max(int(v), 1) for k, v in hist.items()}
         # every bucket needs a pid mapping: a bucket quiet last batch but
         # hot now would otherwise map to NULL __pid and serialize all its
@@ -384,11 +433,13 @@ def apply_batch(
         for fn in sorted(os.listdir(bdir)):
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
-                r = _parquet_rows(os.path.join(bdir, fn))
+                r, fstats = _parquet_meta(os.path.join(bdir, fn))
                 entry_meta = {
                     "path": rel, "bucket": b, "schema_version": schema_version,
-                    "rows": r,
+                    "rows": r, "layout_gen": write_gen,
                 }
+                if fstats:
+                    entry_meta["stats"] = fstats
                 if merge_mode == "mor":
                     entry_meta["delta"] = True
                 new_files.append(entry_meta)
@@ -453,6 +504,7 @@ def apply_batch(
             str(r["__bucket"]): int(r["n_events"] or r["winners"])
             for r in bucket_stats
         },
+        "bucket_rows_gen": write_gen,
     }
     snapshot_id = table.commit(
         batch_id=batch_id,
@@ -481,6 +533,14 @@ def compact(
     fenced like any other commit.  At scale this runs asynchronously,
     bucket-subset at a time — each bucket's rewrite is independent.
     """
+    if table.migration() is not None:
+        # bucket ids are ambiguous across the two live layout generations;
+        # the rebucket step already LWW-compacts what it rewrites
+        raise ValueError(
+            "compact during an active re-bucketing migration is "
+            "unsupported; finish the migration (rebucket_step until done) "
+            "and compact then"
+        )
     unresolved = table.unresolved_buckets()
     targets = unresolved if buckets is None else set(buckets) & unresolved
     if not targets:
@@ -495,7 +555,7 @@ def compact(
 
     fields = table.current_fields()
     key_names = [f["name"] for f in fields if f["id"] in (1, 2)]
-    n_buckets = table.n_buckets
+    write_gen, n_buckets = table.write_layout()
     raw = table.scan(spark, buckets=targets, include_system=True).withColumn(
         "__bucket", bucket_col(n_buckets, key_names[0], key_names[1])
     )
@@ -532,11 +592,14 @@ def compact(
         for fn in sorted(os.listdir(bdir)):
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
-                r = _parquet_rows(os.path.join(bdir, fn))
-                new_files.append(
-                    {"path": rel, "bucket": b, "schema_version": schema_version,
-                     "rows": r}
-                )
+                r, fstats = _parquet_meta(os.path.join(bdir, fn))
+                entry_meta = {
+                    "path": rel, "bucket": b, "schema_version": schema_version,
+                    "rows": r, "layout_gen": write_gen,
+                }
+                if fstats:
+                    entry_meta["stats"] = fstats
+                new_files.append(entry_meta)
                 bfiles.append(rel)
                 rows += r
         lineage[str(b)] = {"files": bfiles, "rows_live": rows}

@@ -95,6 +95,17 @@ class CommitConflict(Exception):
     """Another writer published a snapshot with our expected parent."""
 
 
+def _stats_may_match(f: dict, ranges: dict[str, tuple[int, int]]) -> bool:
+    """Per-file min/max intersection test; files lacking a column's stats
+    (legacy writers) are kept — pruning must stay conservative."""
+    stats = f.get("stats") or {}
+    for col, (lo, hi) in ranges.items():
+        s = stats.get(col)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            return False
+    return True
+
+
 def _spark_type(type_str: str) -> T.DataType:
     return T._parse_datatype_string(type_str)
 
@@ -352,6 +363,11 @@ class LakeTable:
             "parent_snapshot_id": None,
             "batch_id": "__create__",
             "n_buckets": n_buckets,
+            # bucket-layout generations (S21): every data file is tagged with
+            # the generation it was written under; a re-bucketing migration
+            # adds a generation and retires the old one file-by-file
+            "layouts": {"1": n_buckets},
+            "write_gen": 1,
             "schema_version": 1,
             "schemas": {"1": fields},
             "files": [],
@@ -383,7 +399,35 @@ class LakeTable:
 
     @property
     def n_buckets(self) -> int:
-        return self.manifest(0)["n_buckets"]
+        """Width of the CURRENT write layout (no longer the creation-time
+        constant: a completed re-bucketing migration changes it)."""
+        gen, width = self.write_layout()
+        return width
+
+    # -- bucket-layout generations (S21) ---------------------------------------
+
+    def layout_info(self, snapshot_id: int | None = None) -> dict:
+        """Layout state of a snapshot: ``{"layouts": {gen: n_buckets},
+        "write_gen": g, "migration": {...} | None}``.  Legacy manifests
+        (written before layout generations existed) read as a single
+        generation 1 of the creation-time width."""
+        m = self.manifest(snapshot_id)
+        raw = m.get("layouts") or {"1": m["n_buckets"]}
+        return {
+            "layouts": {int(k): int(v) for k, v in raw.items()},
+            "write_gen": int(m.get("write_gen", 1)),
+            "migration": m.get("migration"),
+        }
+
+    def write_layout(self, snapshot_id: int | None = None) -> tuple[int, int]:
+        """(generation, n_buckets) new data files are routed under."""
+        info = self.layout_info(snapshot_id)
+        g = info["write_gen"]
+        return g, info["layouts"][g]
+
+    def migration(self) -> dict | None:
+        """Active re-bucketing migration state, or None."""
+        return self.layout_info()["migration"]
 
     def current_fields(self, snapshot_id: int | None = None) -> list[dict]:
         m = self.manifest(snapshot_id)
@@ -489,6 +533,8 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: set[int] | None = None,
         include_system: bool = False,
+        offset_range: tuple[int, int] | None = None,
+        commit_seq_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id``, optionally pruned to a
         bucket subset.  Bucket pruning is the engine's custom partition-
@@ -502,6 +548,19 @@ class LakeTable:
         ``include_system=False`` (readers): tombstones filtered out, system
         columns dropped.  ``include_system=True`` (the MERGE path): raw rows
         including tombstones and LWW ordering metadata.
+
+        ``offset_range`` / ``commit_seq_range`` (inclusive (lo, hi)): keep
+        only rows whose WINNING change falls in the window — the audit /
+        "state as changed since offset X" read.  Always row-exact; on
+        snapshots with no unresolved delta files (CoW or freshly compacted)
+        the per-file min/max stats the writers record in the manifest drop
+        non-intersecting files WITHOUT opening them (Iceberg per-file
+        column-stats pruning; gate:
+        tests/test_stats_pruning.py).  Snapshots that still need LWW
+        resolution read everything and filter post-resolution: pruning
+        before the arg-max could crown a pruned key's older version —
+        exactness beats IO there.  Files without recorded stats (legacy)
+        are kept conservatively.
         """
         if snapshot_id is not None and snapshot_id < self.vacuum_horizon():
             raise ValueError(
@@ -516,10 +575,72 @@ class LakeTable:
         )
         files = m["files"]
         if buckets is not None:
+            if m.get("migration") is not None:
+                # mid-migration, a numeric bucket id is ambiguous between
+                # layout generations — refuse loudly (the ops that prune,
+                # CoW and compact, refuse to run mid-migration for the same
+                # reason); full scans stay exact throughout.
+                raise ValueError(
+                    "bucket-pruned scan during an active re-bucketing "
+                    "migration is ambiguous (two layout generations are "
+                    "live); scan without buckets= or finish the migration"
+                )
             files = [f for f in files if f["bucket"] in buckets]
+        ranges: dict[str, tuple[int, int]] = {}
+        if offset_range is not None:
+            ranges["_offset"] = offset_range
+        if commit_seq_range is not None:
+            ranges["_commit_seq"] = commit_seq_range
+        # File-level stats pruning is sound when rows are independent:
+        # always for raw include_system reads (the filter is row-local), and
+        # for resolved reads only when no LWW resolution is pending over the
+        # FULL snapshot (one row per key).  Delta-heavy snapshots — where
+        # per-batch delta files make the stats sharpest — therefore prune on
+        # the raw surface, which is exactly the O(window) audit/export read.
+        any_delta = any(f.get("delta") for f in m["files"])
+        if ranges and (include_system or not any_delta):
+            files = [f for f in files if _stats_may_match(f, ranges)]
         if not files:
             return spark.createDataFrame([], cur_schema)
+        out = self._project_files(spark, m, files)
+        if ranges and include_system:
+            for col, (lo, hi) in ranges.items():
+                out = out.filter(F.col(col).between(lo, hi))
+        if not include_system:
+            # Merge-on-read resolution: buckets with uncompacted delta files
+            # may hold several generations of a key; readers take the LWW
+            # arg-max by (_commit_seq, _offset) first.  Compacted/CoW-only
+            # snapshots skip the extra shuffle entirely (flag in manifest).
+            # (Rebucketed files keep delta=True: a key rewritten from the old
+            # layout may be superseded by a new-layout delta written mid-
+            # migration, so readers must keep resolving until compact().)
+            needs_resolve = any(f.get("delta") for f in files)
+            if needs_resolve:
+                from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
 
+                key_names = [f["name"] for f in cur_fields if f["id"] in (1, 2)]
+                out = lww_dedup(
+                    out, key=key_names, strategy="argmax",
+                    order=["_commit_seq", "_offset"],
+                )
+            # range filters apply to the WINNER's ordering metadata, so
+            # post-resolution — pre-resolution filtering would let an older
+            # in-window version win over a newer out-of-window one
+            for col, (lo, hi) in ranges.items():
+                out = out.filter(F.col(col).between(lo, hi))
+            out = out.filter(~F.col("_deleted")).drop(
+                *[sf.name for sf in SYSTEM_FIELDS.fields]
+            )
+        return out
+
+    def _project_files(self, spark: SparkSession, m: dict, files: list[dict]) -> DataFrame:
+        """Union of ``files`` (non-empty, entries of manifest ``m``) projected
+        onto ``m``'s current schema by FIELD ID — the schema-evolution
+        contract: select by the writing version's name, cast to the current
+        type, alias to the current name; fields added since → typed NULL.
+        System columns pass through.  Shared by scan, incremental, and the
+        rebucket step."""
+        cur_fields = m["schemas"][str(m["schema_version"])]
         by_version: dict[str, list[str]] = {}
         for f in files:
             by_version.setdefault(str(f["schema_version"]), []).append(
@@ -545,23 +666,6 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if not include_system:
-            # Merge-on-read resolution: buckets with uncompacted delta files
-            # may hold several generations of a key; readers take the LWW
-            # arg-max by (_commit_seq, _offset) first.  Compacted/CoW-only
-            # snapshots skip the extra shuffle entirely (flag in manifest).
-            needs_resolve = any(f.get("delta") for f in files)
-            if needs_resolve:
-                from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
-
-                key_names = [f["name"] for f in cur_fields if f["id"] in (1, 2)]
-                out = lww_dedup(
-                    out, key=key_names, strategy="argmax",
-                    order=["_commit_seq", "_offset"],
-                )
-            out = out.filter(~F.col("_deleted")).drop(
-                *[sf.name for sf in SYSTEM_FIELDS.fields]
-            )
         return out
 
     # -- commit (S8/S10) -------------------------------------------------------
@@ -579,16 +683,28 @@ class LakeTable:
         *,
         batch_id: str,
         expected_parent: int,
-        replaced_buckets: set[int],
+        replaced_buckets: set | str,
         new_files: list[dict],
         offsets: dict,
         lineage: dict,
         metrics: dict,
         schema_version: int | None = None,
         schemas: dict | None = None,
+        layout_update: dict | None = None,
     ) -> int:
         """Publish a new snapshot: carry forward parent files for untouched
         buckets, swap in ``new_files`` for ``replaced_buckets``.
+
+        ``replaced_buckets`` is layout-generation-qualified: plain ints mean
+        (parent's write generation, bucket) — exact whenever a single
+        generation exists, which CoW/compact guarantee by refusing to run
+        mid-migration; ``(gen, bucket)`` tuples address a generation
+        explicitly (the rebucket step retires old-generation files this
+        way); the string ``"all"`` drops every parent file (rollback).
+
+        ``layout_update`` (rebucket only) replaces the three layout keys
+        {layouts, write_gen, migration} atomically with the rest of the
+        commit; otherwise they carry forward from the parent.
 
         Fencing: the new manifest is v{expected_parent+1}; if that file
         already exists the CAS failed → CommitConflict (unless the existing
@@ -598,12 +714,33 @@ class LakeTable:
         if already is not None:
             return already
         parent = self.manifest(expected_parent)
-        kept = [f for f in parent["files"] if f["bucket"] not in replaced_buckets]
+        parent_gen = int(parent.get("write_gen", 1))
+        if replaced_buckets == "all":
+            kept: list[dict] = []
+        else:
+            norm = {
+                b if isinstance(b, tuple) else (parent_gen, b)
+                for b in replaced_buckets
+            }
+            kept = [
+                f
+                for f in parent["files"]
+                if (int(f.get("layout_gen", 1)), f["bucket"]) not in norm
+            ]
+        layouts = parent.get("layouts") or {"1": parent["n_buckets"]}
+        write_gen = parent_gen
+        migration = parent.get("migration")
+        if layout_update is not None:
+            layouts = {str(k): int(v) for k, v in layout_update["layouts"].items()}
+            write_gen = int(layout_update["write_gen"])
+            migration = layout_update.get("migration")
         manifest = {
             "snapshot_id": expected_parent + 1,
             "parent_snapshot_id": expected_parent,
             "batch_id": batch_id,
-            "n_buckets": parent["n_buckets"],
+            "n_buckets": int(layouts[str(write_gen)]),
+            "layouts": layouts,
+            "write_gen": write_gen,
             "schema_version": schema_version or parent["schema_version"],
             "schemas": schemas or parent["schemas"],
             "files": kept + new_files,
@@ -612,6 +749,8 @@ class LakeTable:
             "metrics": metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if migration is not None:
+            manifest["migration"] = migration
         self._publish(manifest)
         # index eagerly (fast path); a crash before this line is repaired by
         # the next batch_committed suffix walk.  Advancing the high-water
@@ -718,7 +857,7 @@ class LakeTable:
         # refuse loudly rather than answer wrong.
         for sid in range(from_snapshot + 1, to_snapshot + 1):
             mode = (self.manifest(sid).get("metrics") or {}).get("merge_mode")
-            if mode in ("compact", "cow", "rollback"):
+            if mode in ("compact", "cow", "rollback", "rebucket"):
                 raise ValueError(
                     f"incremental window ({from_snapshot}, {to_snapshot}] spans "
                     f"a rewrite commit (snapshot {sid}, merge_mode={mode}); "
@@ -736,31 +875,7 @@ class LakeTable:
         )
         if not added:
             return spark.createDataFrame([], out_schema)
-        by_version: dict[str, list[str]] = {}
-        for f in added:
-            by_version.setdefault(str(f["schema_version"]), []).append(
-                os.path.join(self.root, f["path"])
-            )
-        parts: list[DataFrame] = []
-        for ver, paths in by_version.items():
-            old_by_id = {f["id"]: f for f in target["schemas"][ver]}
-            df = spark.read.parquet(*paths)
-            proj = []
-            for f in cur_fields:
-                old = old_by_id.get(f["id"])
-                if old is None:
-                    proj.append(
-                        F.lit(None).cast(_spark_type(f["type"])).alias(f["name"])
-                    )
-                else:
-                    proj.append(
-                        F.col(old["name"]).cast(_spark_type(f["type"])).alias(f["name"])
-                    )
-            proj += [F.col(sf.name) for sf in SYSTEM_FIELDS.fields]
-            parts.append(df.select(*proj))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        out = self._project_files(spark, target, added)
         from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
 
         return lww_dedup(
@@ -776,20 +891,29 @@ class LakeTable:
         rows = []
         for f in m["files"]:
             full = os.path.join(self.root, f["path"])
+            stats = f.get("stats") or {}
+            off = stats.get("_offset") or [None, None]
+            seq = stats.get("_commit_seq") or [None, None]
             rows.append(
                 {
                     "path": f["path"],
                     "bucket": f["bucket"],
+                    "layout_gen": int(f.get("layout_gen", 1)),
                     "schema_version": f["schema_version"],
                     "is_delta": bool(f.get("delta")),
                     "size_bytes": (
                         self.io.size(full) if self.io.exists(full) else None
                     ),
+                    "offset_lo": off[0],
+                    "offset_hi": off[1],
+                    "commit_seq_lo": seq[0],
+                    "commit_seq_hi": seq[1],
                 }
             )
         schema = (
-            "path string, bucket int, schema_version int, is_delta boolean, "
-            "size_bytes long"
+            "path string, bucket int, layout_gen int, schema_version int, "
+            "is_delta boolean, size_bytes long, offset_lo long, "
+            "offset_hi long, commit_seq_lo long, commit_seq_hi long"
         )
         return spark.createDataFrame(rows, schema=schema)
 
@@ -845,13 +969,19 @@ class LakeTable:
             new_id = self.commit(
                 batch_id=batch_id or f"__rollback_to_{snapshot_id}_from_{cur}__",
                 expected_parent=cur,
-                replaced_buckets=set(range(self.n_buckets)),
+                replaced_buckets="all",
                 new_files=list(target["files"]),
                 offsets=dict(target["offsets"]),
                 lineage={"rollback_of": snapshot_id},
                 metrics={"merge_mode": "rollback", "rolled_back_from": cur},
                 schema_version=target["schema_version"],
                 schemas=target["schemas"],
+                layout_update={
+                    "layouts": target.get("layouts")
+                    or {"1": target["n_buckets"]},
+                    "write_gen": target.get("write_gen", 1),
+                    "migration": target.get("migration"),
+                },
             )
         except CommitConflict:
             self.io.put_atomic(rb_path, json.dumps({"ranges": prev_ranges}))

@@ -59,10 +59,10 @@ _SYSTEM_COLS = [
     ("_deleted", "boolean"),
     ("_n_src_events", "long"),
 ]
-# Rewrite commits by effect on data: compact preserves rows exactly,
-# rollback restores an earlier state (skippable with documented divergence),
-# cow CHANGES data while rewriting files — never skippable.
-_SKIPPABLE_REWRITES = {"compact", "rollback"}
+# Rewrite commits by effect on data: compact and rebucket preserve rows
+# exactly, rollback restores an earlier state (skippable with documented
+# divergence), cow CHANGES data while rewriting files — never skippable.
+_SKIPPABLE_REWRITES = {"compact", "rollback", "rebucket"}
 _REWRITE_MODES = _SKIPPABLE_REWRITES | {"cow"}
 
 

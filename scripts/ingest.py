@@ -67,6 +67,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "equivalent JVM expression fast path)")
     p.add_argument("--show-history", action="store_true",
                    help="print the snapshot history after ingest")
+    p.add_argument("--rebucket-to", type=int, default=None,
+                   help="migrate the table's bucket layout to this width "
+                        "before ingesting (phased; interleaves with ingest)")
+    p.add_argument("--rebucket-step", type=int, default=None,
+                   help="old buckets moved per rebucket step (default: all)")
     p.add_argument("--rollback-to", type=int, default=None,
                    help="roll the table back to this snapshot id before "
                         "ingesting (bad-batch recovery: the rolled-back "
@@ -127,6 +132,21 @@ def main(argv: list[str] | None = None) -> int:
         new_id = table.rollback(args.rollback_to)
         print(f"rolled back to snapshot {args.rollback_to} "
               f"(published as snapshot {new_id})")
+
+    if args.rebucket_to is not None:
+        from glad_tiles_pipeline_spark.operators.rebucket import rebucket
+
+        if args.merge_mode == "cow":
+            raise SystemExit(
+                "--rebucket-to requires --merge-mode mor (CoW ingest is "
+                "refused while two bucket layouts are live)"
+            )
+        info = rebucket(
+            spark, table, args.rebucket_to,
+            buckets_per_step=args.rebucket_step,
+        )
+        print(f"rebucketed to {args.rebucket_to} buckets in "
+              f"{info['steps']} step(s), snapshot {info['final_snapshot']}")
 
     if args.mode == "batch":
         results = ingest_changelog(

@@ -1,0 +1,132 @@
+"""File-level column-stats pruning (S22): writers record per-file
+``_commit_seq``/``_offset`` min/max in the manifest (footer-only read, zero
+data IO); offset/commit_seq-windowed scans drop non-intersecting files
+without opening them on resolution-free snapshots, and stay row-exact on
+every snapshot.
+
+IO gate: ``df.inputFiles()`` — the scan is built from explicit manifest
+paths, so the pruned plan physically references only matching files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
+from glad_tiles_pipeline_spark.operators.merge import compact
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+from glad_tiles_pipeline_spark.sources.generator import change_log
+
+KEY = ["repo", "path"]
+WINDOW = (1000, 1999)  # exactly the second of four 1000-event batches
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stats")
+    log = str(base / "log")
+    events = change_log(spark, 4000)
+    events.write.parquet(log)
+    cow = LakeTable.create(str(base / "cow"), n_buckets=4)
+    ingest_changelog(spark, cow, log, batch_size=1000, merge_mode="cow")
+    mor = LakeTable.create(str(base / "mor"), n_buckets=4)
+    ingest_changelog(spark, mor, log, batch_size=1000, merge_mode="mor")
+    return {"cow": cow, "mor": mor, "events": events}
+
+
+def _expected(spark, table, lo, hi):
+    """Reference spelling: resolve the FULL snapshot, then window the
+    winner's offset — what scan(offset_range=...) must always equal."""
+    raw = table.scan(spark, include_system=True)
+    resolved = lww_dedup(
+        raw, key=KEY, strategy="argmax", order=["_commit_seq", "_offset"]
+    )
+    return (
+        resolved.filter(F.col("_offset").between(lo, hi))
+        .filter(~F.col("_deleted"))
+        .select("repo", "path", "commit", "lang", "content", "content_sha")
+    )
+
+
+def test_writers_record_stats(spark, tables):
+    for t in (tables["cow"], tables["mor"]):
+        files = tables["cow"].files(spark).collect()
+        assert all(f["offset_lo"] is not None for f in files)
+        assert all(f["commit_seq_hi"] is not None for f in files)
+        assert all(f["offset_lo"] <= f["offset_hi"] for f in files)
+
+
+def test_cow_window_scan_prunes_files_and_stays_exact(spark, tables):
+    cow = tables["cow"]
+    total = len(cow.manifest(None)["files"])
+    got = cow.scan(spark, offset_range=WINDOW)
+    read = {p.split("/")[-1] for p in got.inputFiles()}
+    # IO gate: strictly fewer files than the snapshot holds, and every one
+    # intersects the window per the manifest stats
+    assert 0 < len(read) < total
+    by_name = {
+        f["path"].split("/")[-1]: f for f in cow.manifest(None)["files"]
+    }
+    for name in read:
+        s = by_name[name]["stats"]["_offset"]
+        assert s[1] >= WINDOW[0] and s[0] <= WINDOW[1]
+    exp = _expected(spark, cow, *WINDOW)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_mor_window_scan_exact_without_pruning(spark, tables):
+    """Unresolved deltas: pruning is off (it could crown a pruned key's
+    older version) but the windowed result is still exact."""
+    mor = tables["mor"]
+    total = len(mor.manifest(None)["files"])
+    got = mor.scan(spark, offset_range=WINDOW)
+    assert len(set(got.inputFiles())) == total  # reads everything
+    exp = _expected(spark, mor, *WINDOW)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_raw_window_read_on_delta_snapshot_prunes_sharply(spark, tables):
+    """include_system reads are row-local, so pruning is sound even with
+    unresolved deltas — and per-batch delta files make it sharp: a one-batch
+    offset window opens ~1/4 of the mor table's files.  (Must run BEFORE
+    the compaction test below, which collapses the shared table's deltas.)"""
+    mor = tables["mor"]
+    total = len(mor.manifest(None)["files"])
+    got = mor.scan(spark, include_system=True, offset_range=WINDOW)
+    read = set(got.inputFiles())
+    assert 0 < len(read) <= total // 2
+    # row-exactness: same rows as an unpruned raw read filtered row-wise
+    raw = mor.scan(spark, include_system=True).filter(
+        F.col("_offset").between(*WINDOW)
+    )
+    assert got.exceptAll(raw).count() == 0 and raw.exceptAll(got).count() == 0
+
+
+def test_compaction_enables_pruning_with_same_answer(spark, tables):
+    mor = tables["mor"]
+    before = mor.scan(spark, offset_range=WINDOW)
+    exp = _expected(spark, mor, *WINDOW)
+    compact(spark, mor)
+    after = mor.scan(spark, offset_range=WINDOW)
+    # same rows, fewer files opened
+    assert after.exceptAll(exp).count() == 0 and exp.exceptAll(after).count() == 0
+    assert len(set(after.inputFiles())) < len(set(before.inputFiles()))
+
+
+def test_empty_window_reads_zero_files(spark, tables):
+    cow = tables["cow"]
+    got = cow.scan(spark, offset_range=(50_000, 60_000))
+    assert got.count() == 0
+    assert got.inputFiles() == []
+
+
+def test_commit_seq_range_and_include_system(spark, tables):
+    cow = tables["cow"]
+    got = cow.scan(
+        spark, include_system=True, commit_seq_range=(0, 999)
+    )
+    assert got.filter(F.col("_commit_seq") > 999).count() == 0
+    assert got.count() > 0
