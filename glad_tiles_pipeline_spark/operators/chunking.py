@@ -119,6 +119,58 @@ def pack_chunks(
     )
 
 
+def pack_chunks_global(
+    chunks: DataFrame,
+    capacity: int = 64,
+    key_col: str = "shard",
+    doc_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """CROSS-document sequence packing — one continuous greedy bin stream
+    per partition key (shard/lang/corpus slice), chunks consumed in
+    (doc_id, chunk_idx) order: the context-window packing that minimizes
+    padding by letting short documents share bins.
+
+    Per-key, this is one sequential scan Spark expressions cannot fold, so
+    it runs as a grouped ``applyInPandas`` — parallelism comes from the KEY
+    dimension (shards), which is how a 100 TB packing job is laid out
+    anyway: you pick enough shards that each key's chunk stream fits a
+    task, and bins never cross shards so tasks stay independent.  The
+    STREAMING twin (``streaming/stateful.py::pack_chunks_stream``) carries
+    (open bin, fill) per key across micro-batches as managed state and is
+    equality-tested against this spelling.
+
+    Output: (key, doc_id, chunk_idx, n_tokens, bin_idx); bins restart at 0
+    per key.  Oracle: an independently-written recursive-CTE twin (EXTRA
+    ``text_pack_global``)."""
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([doc_col, order_col])
+        bins = []
+        b, fill = 0, 0
+        for t in pdf[size_col]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                b, fill = b + 1, 0
+            fill += t
+            bins.append(b)
+        pdf = pdf[[key_col, doc_col, order_col, size_col]].copy()
+        pdf["bin_idx"] = bins
+        return pdf
+
+    return (
+        chunks.select(key_col, doc_col, order_col, size_col)
+        .groupBy(key_col)
+        .applyInPandas(
+            _pack,
+            f"{key_col} int, {doc_col} long, {order_col} int, "
+            f"{size_col} int, bin_idx int",
+        )
+    )
+
+
 def chunk_documents_udtf(
     docs: DataFrame,
     chunk_tokens: int = 64,

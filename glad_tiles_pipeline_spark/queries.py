@@ -839,6 +839,25 @@ def q_text_pack(spark, sf_dir):
     )
 
 
+def q_text_pack_global(spark, sf_dir):
+    """CROSS-document packing (X7'): one continuous greedy bin stream per
+    shard (doc_id % 4), chunks in (doc_id, chunk_idx) order — short
+    documents share bins.  The oracle recomputes the scan with a per-shard
+    row_number + recursive CTE; the streaming twin
+    (streaming/stateful.py::pack_chunks_stream) is equality-tested in
+    tests/test_chunking.py."""
+    from glad_tiles_pipeline_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks_global,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=8).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    return pack_chunks_global(chunks, capacity=64)
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1328,6 +1347,30 @@ _ALL_ORACLES: dict[str, str] = {
         )
         SELECT doc_id, chunk_idx, n_tokens, CAST(bin_idx AS INT) AS bin_idx
         FROM pack""",
+    "text_pack_global": f"""
+        WITH RECURSIVE chunks AS ({_CHUNK_SQL}),
+        seq AS (
+          SELECT CAST(doc_id % 4 AS INT) AS shard, doc_id, chunk_idx,
+                 n_tokens,
+                 row_number() OVER (PARTITION BY doc_id % 4
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks),
+        pack AS (
+          SELECT shard, doc_id, chunk_idx, n_tokens, rn,
+                 0 AS bin_idx, n_tokens AS fill
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.shard, s.doc_id, s.chunk_idx, s.n_tokens, s.rn,
+                 CASE WHEN p.fill + s.n_tokens > 64
+                      THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                 CASE WHEN p.fill + s.n_tokens > 64
+                      THEN s.n_tokens ELSE p.fill + s.n_tokens END
+          FROM seq s
+          JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, chunk_idx, n_tokens,
+               CAST(bin_idx AS INT) AS bin_idx
+        FROM pack""",
     "fn_sha256_docs": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "fn_lang_normalize": f"""
         SELECT {_nls('lang')} AS lang, count(*) AS n_docs
@@ -1496,6 +1539,7 @@ EXTRA_QUERIES = {
     "agg_unpivot_status": q_agg_unpivot_status,
     "text_chunk_windows": q_text_chunks,
     "text_pack_greedy": q_text_pack,
+    "text_pack_global": q_text_pack_global,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"

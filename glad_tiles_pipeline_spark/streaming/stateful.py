@@ -172,3 +172,85 @@ def repo_activity_state_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T5' applied to the training-data pipeline: CROSS-document sequence packing
+# as a stateful stream.  The batch twin (operators/chunking.py::
+# pack_chunks_global) packs each shard's chunk stream in one scan; here the
+# same greedy scan is split across micro-batches, with (next bin, open-bin
+# fill, rows packed so far) carried as managed state per shard — the state
+# is three integers per key no matter how many chunks flow through, so
+# cluster state is O(shards), never O(stream).
+#
+# Determinism contract (what the equality test pins down): chunks are packed
+# in (doc_id, chunk_idx) order WITHIN each micro-batch, and across batches
+# in arrival order — so a stream whose micro-batch boundaries respect the
+# global (doc_id, chunk_idx) order (a backfill replaying sorted files, the
+# common shape) reproduces the batch twin bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PACK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_bin", T.LongType()),
+        T.StructField("fill", T.LongType()),
+    ]
+)
+
+PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("bin_idx", T.IntegerType()),
+    ]
+)
+
+
+def _make_pack_updater(capacity: int):
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        b, fill = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["doc_id", "chunk_idx"])
+            bins = []
+            for t in pdf["n_tokens"]:
+                t = int(t)
+                if fill > 0 and fill + t > capacity:
+                    b, fill = b + 1, 0
+                fill += t
+                bins.append(b)
+            out = pdf[["doc_id", "chunk_idx", "n_tokens"]].copy()
+            out.insert(0, "shard", shard)
+            out["bin_idx"] = bins
+            yield out
+        state.update((b, fill))
+
+    return _update
+
+
+def pack_chunks_stream(
+    chunks: DataFrame, capacity: int = 64, key_col: str = "shard"
+) -> DataFrame:
+    """Streaming cross-document packing: ``chunks`` is a streaming frame
+    with (shard, doc_id, chunk_idx, n_tokens); bins continue across
+    micro-batches per shard.  Append mode — each chunk's bin assignment is
+    final the moment it is emitted (the greedy scan never revisits)."""
+    return (
+        chunks.select(key_col, "doc_id", "chunk_idx", "n_tokens")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _make_pack_updater(capacity),
+            outputStructType=PACK_OUTPUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -163,3 +163,105 @@ def test_invalid_overlap_rejected(spark, docs):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
     with pytest.raises(ValueError):
         chunk_documents_udtf(docs, chunk_tokens=16, overlap=-1)
+
+
+def test_pack_global_shares_bins_across_docs(spark, docs):
+    """Cross-document packing: short docs share bins within a shard, bins
+    never cross shards, and per-shard bin fills respect capacity."""
+    from glad_tiles_pipeline_spark.operators.chunking import (
+        pack_chunks_global,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=8).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    packed = pack_chunks_global(chunks, capacity=64)
+    # at least one bin holds chunks from more than one document
+    multi = (
+        packed.groupBy("shard", "bin_idx")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+    )
+    assert multi.count() > 0
+    # no bin exceeds capacity
+    over = (
+        packed.groupBy("shard", "bin_idx")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .filter(F.col("fill") > 64)
+    )
+    assert over.count() == 0
+    # every chunk appears exactly once
+    assert packed.count() == chunks.count()
+
+
+def test_pack_stream_equals_batch(spark, tmp_path):
+    """The stateful-stream twin: micro-batch boundaries respecting global
+    (doc_id, chunk_idx) order reproduce the batch pack bit-for-bit — the
+    (next_bin, fill) state carries open bins across micro-batches."""
+    import time
+
+    from glad_tiles_pipeline_spark.operators.chunking import (
+        pack_chunks_global,
+    )
+    from glad_tiles_pipeline_spark.streaming.stateful import (
+        pack_chunks_stream,
+    )
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    (F.pmod(F.col("id"), 7) * 13 + 5).cast("int"),
+                ),
+                lambda i: F.concat(F.lit("tok"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=8).withColumn(
+        "shard", (F.col("doc_id") % 3).cast("int")
+    ).select("shard", "doc_id", "chunk_idx", "n_tokens")
+
+    feed_dir = str(tmp_path / "chunk_feed")
+    for lo, hi in [(0, 9), (10, 19), (20, 29)]:
+        (
+            chunks.filter(F.col("doc_id").between(lo, hi))
+            .orderBy("doc_id", "chunk_idx")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(chunks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        pack_chunks_stream(stream, capacity=64)
+        .writeStream.format("memory")
+        .queryName("pack_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("pack_stream_sink")
+    want = pack_chunks_global(chunks, capacity=64)
+    assert got.count() == chunks.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the fixture genuinely exercises cross-batch state: some bin holds
+    # chunks from documents that arrived in different micro-batches
+    spans = (
+        got.groupBy("shard", "bin_idx")
+        .agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        )
+        .filter((F.col("lo") <= 9) & (F.col("hi") >= 10))
+    )
+    assert spans.count() > 0
