@@ -71,6 +71,41 @@ def chunk_documents(
     )
 
 
+def _greedy_bins(sizes, capacity: int, start_bin: int = 0, start_fill: int = 0):
+    """Greedy bin assignment over ``sizes`` in order, looping over BINS, not
+    chunks: each iteration closes one bin via a ``searchsorted`` on the
+    prefix sums — O(bins · log chunks) Python cost instead of a per-chunk
+    interpreter loop (matters for million-chunk shard streams; property-
+    tested equivalent to the per-chunk scan).  ``start_bin``/``start_fill``
+    continue a partially-filled bin (the streaming twin's carried state).
+
+    Returns (bins ndarray, last_bin, last_fill)."""
+    import numpy as np
+
+    n = len(sizes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), start_bin, int(start_fill)
+    cs = np.cumsum(np.asarray(sizes, dtype=np.int64))
+    bins = np.empty(n, dtype=np.int64)
+    b = start_bin
+    base = -int(start_fill)  # cs[j] - base == current bin's fill after j
+    i = 0
+    while i < n:
+        j = int(np.searchsorted(cs, base + capacity, side="right"))
+        if j <= i:
+            # the current bin can't take chunk i: close it iff it holds
+            # anything (an oversized chunk into an EMPTY bin stays there)
+            content = int(cs[i - 1] - base) if i > 0 else int(start_fill)
+            if content > 0:
+                b += 1
+            base = int(cs[i - 1]) if i > 0 else 0
+            j = int(np.searchsorted(cs, base + capacity, side="right"))
+            j = max(j, i + 1)  # oversized chunk: a bin of its own
+        bins[i:j] = b
+        i = j
+    return bins, b, int(cs[-1] - base)
+
+
 def pack_chunks(
     chunks: DataFrame,
     capacity: int = 64,
@@ -97,14 +132,7 @@ def pack_chunks(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
-        bins = []
-        b, fill = 0, 0
-        for t in pdf[size_col]:
-            t = int(t)
-            if fill > 0 and fill + t > capacity:
-                b, fill = b + 1, 0
-            fill += t
-            bins.append(b)
+        bins, _, _ = _greedy_bins(pdf[size_col].to_numpy(), capacity)
         pdf = pdf[[id_col, order_col, size_col]].copy()
         pdf["bin_idx"] = bins
         return pdf
@@ -148,14 +176,7 @@ def pack_chunks_global(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([doc_col, order_col])
-        bins = []
-        b, fill = 0, 0
-        for t in pdf[size_col]:
-            t = int(t)
-            if fill > 0 and fill + t > capacity:
-                b, fill = b + 1, 0
-            fill += t
-            bins.append(b)
+        bins, _, _ = _greedy_bins(pdf[size_col].to_numpy(), capacity)
         pdf = pdf[[key_col, doc_col, order_col, size_col]].copy()
         pdf["bin_idx"] = bins
         return pdf

@@ -149,6 +149,8 @@ def _planes_matrix(dim: int, n_planes: int, seed: int):
     key = (dim, n_planes, seed)
     cache = _planes_matrix.__dict__.setdefault("_cache", {})
     if key not in cache:
+        if len(cache) >= 32:  # bound: long-lived workers across many configs
+            cache.clear()
         cache[key] = np.array(
             [_plane(dim, h, seed) for h in range(n_planes)], dtype=np.float64
         ).T

@@ -214,24 +214,23 @@ def _make_pack_updater(capacity: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        from glad_tiles_pipeline_spark.operators.chunking import _greedy_bins
+
         (shard,) = key
         b, fill = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["doc_id", "chunk_idx"])
-            bins = []
-            for t in pdf["n_tokens"]:
-                t = int(t)
-                if fill > 0 and fill + t > capacity:
-                    b, fill = b + 1, 0
-                fill += t
-                bins.append(b)
+            bins, b, fill = _greedy_bins(
+                pdf["n_tokens"].to_numpy(), capacity,
+                start_bin=b, start_fill=fill,
+            )
             out = pdf[["doc_id", "chunk_idx", "n_tokens"]].copy()
             out.insert(0, "shard", shard)
             out["bin_idx"] = bins
             yield out
-        state.update((b, fill))
+        state.update((int(b), int(fill)))
 
     return _update
 

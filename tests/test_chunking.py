@@ -265,3 +265,43 @@ def test_pack_stream_equals_batch(spark, tmp_path):
         .filter((F.col("lo") <= 9) & (F.col("hi") >= 10))
     )
     assert spans.count() > 0
+
+
+def test_greedy_bins_property_matches_per_chunk_scan():
+    """_greedy_bins (bin-wise searchsorted over prefix sums) must equal the
+    straightforward per-chunk greedy scan for any sizes and carried state —
+    including oversized chunks, zero-size chunks, and empty input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from glad_tiles_pipeline_spark.operators.chunking import _greedy_bins
+
+    def reference(sizes, capacity, b, fill):
+        bins = []
+        for t in sizes:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                b, fill = b + 1, 0
+            fill += t
+            bins.append(b)
+        return bins, b, fill
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=130), max_size=60),
+        capacity=st.integers(min_value=1, max_value=100),
+        start_bin=st.integers(min_value=0, max_value=5),
+        start_fill=st.integers(min_value=0, max_value=100),
+    )
+    def check(sizes, capacity, start_bin, start_fill):
+        got_bins, got_b, got_fill = _greedy_bins(
+            sizes, capacity, start_bin=start_bin, start_fill=start_fill
+        )
+        want_bins, want_b, want_fill = reference(
+            sizes, capacity, start_bin, start_fill
+        )
+        assert list(got_bins) == want_bins
+        if sizes:  # carried state only meaningful when something was packed
+            assert (got_b, got_fill) == (want_b, want_fill)
+
+    check()
