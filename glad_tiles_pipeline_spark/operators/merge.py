@@ -62,17 +62,22 @@ def _parquet_rows(path: str) -> int:
 _STATS_COLS = ("_commit_seq", "_offset")
 
 
-def _parquet_meta(path: str) -> tuple[int, dict]:
-    """Footer-only read: row count + min/max of the LWW ordering columns.
-    Zero data IO — the stats are aggregated from row-group footers the
-    writer already produced; a column missing min/max in any row group is
-    simply omitted (readers treat missing stats conservatively)."""
+def _parquet_meta(path: str, str_cols: tuple[str, ...] = ()) -> tuple[int, dict]:
+    """Footer-only read: row count + min/max of the LWW ordering columns
+    plus the string columns in ``str_cols`` (the repo key — callers pass
+    the field-id-1 name of the version they just wrote, so the stats key
+    survives a later rename).  Zero data IO — the stats are aggregated from
+    row-group footers the writer already produced; a column missing min/max
+    in any row group is simply omitted (readers treat missing stats
+    conservatively)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    stats: dict[str, list[int]] = {}
-    for col in _STATS_COLS:
+    stats: dict[str, list] = {}
+    for col, coerce in [(c, int) for c in _STATS_COLS] + [
+        (c, str) for c in str_cols
+    ]:
         ci = names.get(col)
         if ci is None:
             continue
@@ -85,8 +90,17 @@ def _parquet_meta(path: str) -> tuple[int, dict]:
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if lo is not None:
-            stats[col] = [int(lo), int(hi)]
+            stats[col] = [coerce(lo), coerce(hi)]
     return md.num_rows, stats
+
+
+def _key1_name(m: dict, schema_version) -> str:
+    """Name of field id 1 (the repo half of the key) in ``schema_version``
+    — what writers pass to ``_parquet_meta`` so repo stats are recorded
+    under the physical column name of the files being written."""
+    return next(
+        f["name"] for f in m["schemas"][str(schema_version)] if f["id"] == 1
+    )
 
 
 def plan_partition_ids(
@@ -422,7 +436,9 @@ def apply_batch(
     # -- 5. manifest: new files per bucket, lineage, metrics, fenced commit
     new_files: list[dict] = []
     lineage: dict[str, dict] = {}
-    schema_version = table.manifest(None)["schema_version"]
+    _m_now = table.manifest(None)
+    schema_version = _m_now["schema_version"]
+    _key1 = _key1_name(_m_now, schema_version)
     for entry in sorted(os.listdir(data_abs)):
         if not entry.startswith("__bucket="):
             continue
@@ -433,7 +449,9 @@ def apply_batch(
         for fn in sorted(os.listdir(bdir)):
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
-                r, fstats = _parquet_meta(os.path.join(bdir, fn))
+                r, fstats = _parquet_meta(
+                    os.path.join(bdir, fn), str_cols=(_key1,)
+                )
                 entry_meta = {
                     "path": rel, "bucket": b, "schema_version": schema_version,
                     "rows": r, "layout_gen": write_gen,
@@ -580,7 +598,9 @@ def compact(
 
     data_abs, data_rel = table.new_data_dir()
     resolved.write.partitionBy("__bucket").parquet(data_abs, mode="append")
-    schema_version = table.manifest(None)["schema_version"]
+    _m_now = table.manifest(None)
+    schema_version = _m_now["schema_version"]
+    _key1 = _key1_name(_m_now, schema_version)
     new_files: list[dict] = []
     lineage: dict[str, dict] = {}
     for entry in sorted(os.listdir(data_abs)):
@@ -592,7 +612,9 @@ def compact(
         for fn in sorted(os.listdir(bdir)):
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
-                r, fstats = _parquet_meta(os.path.join(bdir, fn))
+                r, fstats = _parquet_meta(
+                    os.path.join(bdir, fn), str_cols=(_key1,)
+                )
                 entry_meta = {
                     "path": rel, "bucket": b, "schema_version": schema_version,
                     "rows": r, "layout_gen": write_gen,

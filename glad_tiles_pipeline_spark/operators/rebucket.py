@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from glad_tiles_pipeline_spark.functions.hashing import bucket_col
 from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
 from glad_tiles_pipeline_spark.operators.merge import (
+    _key1_name,
     _parquet_meta,
     plan_partition_ids,
 )
@@ -205,6 +206,7 @@ def rebucket_step(
     data_abs, data_rel = table.new_data_dir()
     resolved.write.partitionBy("__bucket").parquet(data_abs, mode="append")
     schema_version = m["schema_version"]
+    _key1 = _key1_name(m, schema_version)
     new_files: list[dict] = []
     lineage: dict[str, dict] = {}
     for entry in sorted(os.listdir(data_abs)):
@@ -216,7 +218,9 @@ def rebucket_step(
         for fn in sorted(os.listdir(bdir)):
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
-                r, fstats = _parquet_meta(os.path.join(bdir, fn))
+                r, fstats = _parquet_meta(
+                    os.path.join(bdir, fn), str_cols=(_key1,)
+                )
                 entry_meta = {
                     "path": rel, "bucket": nb,
                     "schema_version": schema_version, "rows": r,

@@ -535,6 +535,7 @@ class LakeTable:
         include_system: bool = False,
         offset_range: tuple[int, int] | None = None,
         commit_seq_range: tuple[int, int] | None = None,
+        repos: "list[str] | set[str] | None" = None,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id``, optionally pruned to a
         bucket subset.  Bucket pruning is the engine's custom partition-
@@ -561,6 +562,14 @@ class LakeTable:
         before the arg-max could crown a pruned key's older version —
         exactness beats IO there.  Files without recorded stats (legacy)
         are kept conservatively.
+
+        ``repos`` (collection of repo names): current state of just those
+        repos.  Prunes on per-file repo min/max and, because the predicate
+        is on the KEY, prunes soundly on every snapshot — delta-heavy or
+        not — before LWW resolution; a repo-only predicate cannot bucket-
+        prune (buckets hash the full (repo, path) key), so file stats are
+        the only IO lever for it.  Effective when ingest batches are
+        repo-clustered (the common CDC shape: a push touches one repo).
         """
         if snapshot_id is not None and snapshot_id < self.vacuum_horizon():
             raise ValueError(
@@ -586,6 +595,28 @@ class LakeTable:
                     "live); scan without buckets= or finish the migration"
                 )
             files = [f for f in files if f["bucket"] in buckets]
+        if repos is not None:
+            # Repo pruning is KEY-based — every version of a key carries the
+            # same repo value — so unlike offset/commit_seq windows it is
+            # sound on ANY snapshot, deltas pending or not: a file holding
+            # any row of a wanted repo necessarily has repo_min <= r <=
+            # repo_max and survives, so LWW resolution over the kept files
+            # sees every version of every kept key.  Stats are looked up
+            # under the file's own schema version's field-id-1 name
+            # (rename-safe); files without stats are kept conservatively.
+            wanted = sorted(set(repos))
+            key1_by_ver = {
+                ver: next(f["name"] for f in fields if f["id"] == 1)
+                for ver, fields in m["schemas"].items()
+            }
+
+            def _repo_may_match(f: dict) -> bool:
+                s = (f.get("stats") or {}).get(
+                    key1_by_ver[str(f["schema_version"])]
+                )
+                return s is None or any(s[0] <= r <= s[1] for r in wanted)
+
+            files = [f for f in files if _repo_may_match(f)]
         ranges: dict[str, tuple[int, int]] = {}
         if offset_range is not None:
             ranges["_offset"] = offset_range
@@ -603,6 +634,10 @@ class LakeTable:
         if not files:
             return spark.createDataFrame([], cur_schema)
         out = self._project_files(spark, m, files)
+        if repos is not None:
+            # key predicate: commutes with LWW resolution, filter early
+            key1_cur = next(f["name"] for f in cur_fields if f["id"] == 1)
+            out = out.filter(F.col(key1_cur).isin(sorted(set(repos))))
         if ranges and include_system:
             for col, (lo, hi) in ranges.items():
                 out = out.filter(F.col(col).between(lo, hi))
@@ -894,6 +929,12 @@ class LakeTable:
             stats = f.get("stats") or {}
             off = stats.get("_offset") or [None, None]
             seq = stats.get("_commit_seq") or [None, None]
+            key1 = next(
+                sf["name"]
+                for sf in m["schemas"][str(f["schema_version"])]
+                if sf["id"] == 1
+            )
+            rep = stats.get(key1) or [None, None]
             rows.append(
                 {
                     "path": f["path"],
@@ -908,12 +949,15 @@ class LakeTable:
                     "offset_hi": off[1],
                     "commit_seq_lo": seq[0],
                     "commit_seq_hi": seq[1],
+                    "repo_lo": rep[0],
+                    "repo_hi": rep[1],
                 }
             )
         schema = (
             "path string, bucket int, layout_gen int, schema_version int, "
             "is_delta boolean, size_bytes long, offset_lo long, "
-            "offset_hi long, commit_seq_lo long, commit_seq_hi long"
+            "offset_hi long, commit_seq_lo long, commit_seq_hi long, "
+            "repo_lo string, repo_hi string"
         )
         return spark.createDataFrame(rows, schema=schema)
 

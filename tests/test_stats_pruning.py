@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
-from glad_tiles_pipeline_spark.operators.merge import compact
+from glad_tiles_pipeline_spark.operators.merge import apply_batch, compact
 from glad_tiles_pipeline_spark.plans.lake import LakeTable
 from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
 from glad_tiles_pipeline_spark.sources.generator import change_log
@@ -130,3 +130,55 @@ def test_commit_seq_range_and_include_system(spark, tables):
     )
     assert got.filter(F.col("_commit_seq") > 999).count() == 0
     assert got.count() > 0
+
+
+def test_repo_pruning_fires_on_delta_snapshot_and_stays_exact(spark, tmp_path):
+    """Repo predicates are KEY predicates — every version of a key shares
+    its repo — so unlike offset/commit_seq windows the file-level pruning
+    must fire even while LWW resolution is pending (delta files live).
+    Two repo-disjoint MoR batches model the common CDC shape (a push
+    touches one repo): a single-repo scan must read only the first batch's
+    files and still equal the filter-after-full-resolve reference."""
+    table = LakeTable.create(str(tmp_path / "repos"), n_buckets=4)
+    events = change_log(spark, 800)
+    b1 = events.withColumn("repo", F.concat(F.lit("aaa-"), F.col("repo")))
+    b2 = (
+        events.withColumn("repo", F.concat(F.lit("zzz-"), F.col("repo")))
+        .withColumn("offset", F.col("offset") + 800)
+        .withColumn("commit_seq", F.col("commit_seq") + 800)
+    )
+    apply_batch(spark, table, b1, "r1", merge_mode="mor")
+    apply_batch(spark, table, b2, "r2", merge_mode="mor")
+    m = table.manifest(None)
+    assert any(f.get("delta") for f in m["files"]), "fixture must be delta-pending"
+    total = len(m["files"])
+
+    wanted = ["aaa-repo-000", "aaa-repo-001"]
+    got = table.scan(spark, repos=wanted)
+    read = {p.split("/")[-1] for p in got.inputFiles()}
+    assert 0 < len(read) < total, "repo pruning must drop the zzz batch"
+    by_name = {f["path"].split("/")[-1]: f for f in m["files"]}
+    for name in read:
+        s = by_name[name]["stats"]["repo"]
+        assert s[0] <= max(wanted) and s[1] >= min(wanted)
+
+    ref = table.scan(spark).filter(F.col("repo").isin(wanted))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_repo_scan_empty_set_and_stats_surfaced(spark, tables):
+    cow = tables["cow"]
+    assert cow.scan(spark, repos=[]).count() == 0
+    files = cow.files(spark).collect()
+    assert all(
+        f["repo_lo"] is not None and f["repo_lo"] <= f["repo_hi"] for f in files
+    )
+
+
+def test_repo_scan_composes_with_offset_window(spark, tables):
+    cow = tables["cow"]
+    one_repo = cow.scan(spark).select("repo").first()["repo"]
+    got = cow.scan(spark, repos=[one_repo], offset_range=WINDOW)
+    exp = _expected(spark, cow, *WINDOW).filter(F.col("repo") == one_repo)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
