@@ -49,6 +49,7 @@ from glad_tiles_pipeline_spark.operators.multimodal import (
 from glad_tiles_pipeline_spark.operators.similarity import (
     ann_bruteforce_topk,
     ann_lsh_topk,
+    ivf_topk,
     embedding_neardup,
 )
 
@@ -940,6 +941,17 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, queries, dim=64, k=5, n_bands=16, rows_per_band=2)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat partition-pruned ANN: deterministic centroids (lowest 16
+    ids) make the whole index SQL-expressible, so the oracle recomputes the
+    SAME approximate algorithm (not brute force) — assignment, probe, and
+    ranking all checked.  Recall@5 vs brute force is 0.92 at this operating
+    point, measured in tests/test_similarity_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, nprobe=4)
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1090,6 +1102,39 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS.format(a='q.v', b='c.v')} AS sim0
   FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, round(sim0, 6) AS sim, CAST(rnk AS INT) AS "rank"
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+# Full algorithm twin of ivf_topk (n_cells=16, nprobe=4): deterministic
+# centroids = the 16 lowest vec_ids, so DuckDB recomputes assignment,
+# probe, and exact-cosine ranking — the oracle checks the APPROXIMATE
+# output itself, not a brute-force stand-in.
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.v', b='cent.cv')} DESC, cent.cid) AS rn
+    FROM e, cent) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.v', b='cent.cv')} DESC, cent.cid) AS rn
+    FROM e, cent WHERE e.vec_id < 10) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v')} AS sim0
+  FROM probe p JOIN assign a USING (cid)
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e c ON c.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id)
 SELECT query_id, neighbor_id, round(sim0, 6) AS sim, CAST(rnk AS INT) AS "rank"
 FROM (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rnk
@@ -1435,6 +1480,7 @@ _ALL_ORACLES: dict[str, str] = {
     # the driver operating point (equality-asserted in
     # tests/test_similarity_recall.py), so the brute-force twin is its oracle
     "ann_lsh_topk": _ANN_SQL,
+    "ann_ivf_topk": _IVF_SQL,
     "multimodal_decode_stub": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -1540,6 +1586,7 @@ EXTRA_QUERIES = {
     "text_chunk_windows": q_text_chunks,
     "text_pack_greedy": q_text_pack,
     "text_pack_global": q_text_pack_global,
+    "ann_ivf_topk": q_ann_ivf,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
