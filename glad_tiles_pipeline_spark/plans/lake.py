@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -332,12 +333,27 @@ class InMemoryManifestIO(ManifestIO):
 
 
 class LakeTable:
-    """Snapshot-versioned Parquet table with manifest-log commits."""
+    """Snapshot-versioned Parquet table with manifest-log commits.
 
-    def __init__(self, root: str, io: ManifestIO | None = None):
+    ``branch`` (default ``"main"``) opens a handle on a staging branch
+    (S23, write-audit-publish): branch commits publish into an isolated
+    manifest directory with its own CAS chain, batch-id index, and
+    rollback ranges, sharing the main table's data directory and pre-fork
+    history.  See ``create_branch`` / ``publish_branch``."""
+
+    def __init__(self, root: str, io: ManifestIO | None = None,
+                 branch: str = "main"):
         self.root = root
         self.io = io or LocalManifestIO()
-        self._manifest_dir = os.path.join(root, "manifests")
+        self.branch_name = branch
+        self._main_manifest_dir = os.path.join(root, "manifests")
+        if branch == "main":
+            self._manifest_dir = self._main_manifest_dir
+        else:
+            self._manifest_dir = os.path.join(
+                self._main_manifest_dir, "branches", branch
+            )
+        self._branch_meta_cache: dict | None = None
 
     # -- creation / metadata -------------------------------------------------
 
@@ -380,7 +396,160 @@ class LakeTable:
         return table
 
     def _manifest_path(self, snapshot_id: int) -> str:
-        return os.path.join(self._manifest_dir, f"v{snapshot_id}.json")
+        p = os.path.join(self._manifest_dir, f"v{snapshot_id}.json")
+        if self._manifest_dir is not self._main_manifest_dir:
+            # pre-fork history is shared with main: a branch directory holds
+            # only the fork-point copy + branch commits, so older snapshot
+            # reads (time travel, history, incremental windows) fall back
+            if snapshot_id < self._branch_meta()["fork_snapshot_id"]:
+                return os.path.join(
+                    self._main_manifest_dir, f"v{snapshot_id}.json"
+                )
+        return p
+
+    # -- branches (S23: write-audit-publish) -----------------------------------
+
+    def _branch_meta(self) -> dict:
+        if self._branch_meta_cache is None:
+            self._branch_meta_cache = json.loads(
+                self.io.read_text(os.path.join(self._manifest_dir, "branch.json"))
+            )
+        return self._branch_meta_cache
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a staging branch at the current main head (Iceberg
+        write-audit-publish parity).  Branch commits are REAL commits —
+        same fencing, idempotence index, MoR/compact machinery — published
+        into an isolated manifest chain main readers never see; data files
+        land in the shared data directory (vacuum retains files referenced
+        by live branches; after ``drop_branch`` they age out as orphans).
+        Audit = any read on the returned handle (scan / incremental /
+        history); promote with ``publish_branch``, discard with
+        ``drop_branch``."""
+        if self.branch_name != "main":
+            raise ValueError("branch from the main table handle only")
+        if not re.fullmatch(r"[A-Za-z0-9_-]{1,64}", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        bdir = os.path.join(self._main_manifest_dir, "branches", name)
+        fork = self.current_snapshot_id()
+        self.io.makedirs(bdir, exist_ok=True)
+        meta = {
+            "name": name,
+            "fork_snapshot_id": fork,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        if not self.io.put_if_absent(
+            os.path.join(bdir, "branch.json"), json.dumps(meta)
+        ):
+            raise ValueError(f"branch {name!r} already exists")
+        # seed the branch chain with a verbatim copy of the fork manifest
+        # (self-describing head) and fence the idempotence index at the
+        # fork: pre-fork batches are guarded by the offsets high-water mark
+        # the fork manifest carries, so the suffix walk never needs them
+        self.io.put_if_absent(
+            os.path.join(bdir, f"v{fork}.json"),
+            self.io.read_text(self._manifest_path(fork)),
+        )
+        self.io.put_atomic(
+            os.path.join(bdir, "indexed_through.json"),
+            json.dumps({"snapshot_id": fork}),
+        )
+        return LakeTable(self.root, io=self.io, branch=name)
+
+    def branch(self, name: str) -> "LakeTable":
+        """Open an existing staging branch."""
+        t = LakeTable(self.root, io=self.io, branch=name)
+        if not self.io.exists(os.path.join(t._manifest_dir, "branch.json")):
+            raise ValueError(f"no such branch {name!r}")
+        return t
+
+    def list_branches(self) -> list[str]:
+        broot = os.path.join(self._main_manifest_dir, "branches")
+        if not self.io.exists(broot):
+            return []
+        return sorted(
+            n
+            for n in self.io.list_names(broot)
+            if self.io.exists(os.path.join(broot, n, "branch.json"))
+        )
+
+    def publish_branch(self, name: str) -> dict:
+        """Fast-forward main to the branch head: each staged manifest is
+        re-published VERBATIM into main's chain (metadata-only — data files
+        are already in place), its batch id indexed so main-side replay
+        skips the published batches.  Publishable only when main still
+        points at the fork (or at a prefix of this branch — a crashed
+        publish resumes); anything else is a non-fast-forward →
+        CommitConflict (drop and re-stage on a fresh branch; rebase would
+        re-order LWW arbitration and is deliberately unsupported).
+        Refuses branches carrying rollbacks: dead ranges are branch-local
+        metadata a verbatim manifest copy cannot carry — the branch head
+        already reflects the restore, so drop + re-stage instead."""
+        if self.branch_name != "main":
+            raise ValueError("publish from the main table handle only")
+        br = self.branch(name)
+        fork = br._branch_meta()["fork_snapshot_id"]
+        head = br.current_snapshot_id()
+        if br._dead_ranges():
+            raise ValueError(
+                f"branch {name!r} contains rollbacks; drop and re-stage"
+            )
+        if self._is_dead(fork):
+            raise CommitConflict(
+                f"fork snapshot v{fork} was rolled back on main; "
+                f"branch {name!r} is unpublishable"
+            )
+        main_head = self.current_snapshot_id()
+        if main_head > head:
+            raise CommitConflict(
+                f"main (v{main_head}) advanced past branch {name!r} head "
+                f"(v{head}); not a fast-forward"
+            )
+        # resumable fast-forward: main may already hold a prefix of the
+        # branch chain (crashed earlier publish) — verify batch-id equality
+        # snapshot by snapshot, then continue from main's head
+        for sid in range(fork + 1, main_head + 1):
+            if self.manifest(sid)["batch_id"] != br.manifest(sid)["batch_id"]:
+                raise CommitConflict(
+                    f"main diverged from branch {name!r} at v{sid}; "
+                    "not a fast-forward"
+                )
+        published = 0
+        for sid in range(main_head + 1, head + 1):
+            m = br.manifest(sid)
+            try:
+                self._publish(m)
+            except CommitConflict:
+                raise CommitConflict(
+                    f"main advanced concurrently mid-publish of branch "
+                    f"{name!r} ({published} snapshots landed, which remain "
+                    "valid commits)"
+                ) from None
+            self._write_batch_marker(m["batch_id"], sid)
+            self._advance_indexed_through(sid)
+            published += 1
+        return {"branch": name, "published": published,
+                "snapshot_id": head, "fork_snapshot_id": fork}
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a staging branch (metadata only).  Data files referenced
+        only by the dropped branch become unreferenced orphans and age out
+        under vacuum's grace window."""
+        if self.branch_name != "main":
+            raise ValueError("drop from the main table handle only")
+        bdir = os.path.join(self._main_manifest_dir, "branches", name)
+        if not self.io.exists(os.path.join(bdir, "branch.json")):
+            raise ValueError(f"no such branch {name!r}")
+        idx = os.path.join(bdir, "batch-index")
+        if self.io.exists(idx):
+            for n in self.io.list_names(idx):
+                self.io.delete(os.path.join(idx, n))
+            self.io.rmdir_if_empty(idx)
+        for n in self.io.list_names(bdir):
+            if n != "branch.json":
+                self.io.delete(os.path.join(bdir, n))
+        self.io.delete(os.path.join(bdir, "branch.json"))
+        self.io.rmdir_if_empty(bdir)
 
     def current_snapshot_id(self) -> int:
         ids = [
@@ -1069,6 +1238,8 @@ class LakeTable:
         data but not yet published its manifest (the commit protocol writes
         data first).  Mirrors Iceberg's ``remove_orphan_files`` olderThan.
         """
+        if self.branch_name != "main":
+            raise ValueError("vacuum from the main table handle only")
         cur = self.current_snapshot_id()
         # monotone: a later vacuum with a laxer keep_last must never move
         # the horizon backwards — files below the old horizon are already
@@ -1078,6 +1249,13 @@ class LakeTable:
         retained: set[str] = set()
         for sid in range(horizon, cur + 1):
             retained |= {f["path"] for f in self.manifest(sid)["files"]}
+        # live staging branches (S23) pin every file their staged snapshots
+        # reference — dropped branches release them back to the orphan path
+        for name in self.list_branches():
+            br = self.branch(name)
+            fork = br._branch_meta()["fork_snapshot_id"]
+            for sid in range(fork, br.current_snapshot_id() + 1):
+                retained |= {f["path"] for f in br.manifest(sid)["files"]}
         superseded: set[str] = set()
         for sid in range(0, horizon):
             superseded |= {f["path"] for f in self.manifest(sid)["files"]}

@@ -1,0 +1,143 @@
+"""S23 write-audit-publish branches: staged commits are invisible to main,
+auditable through every read surface, fast-forward published verbatim (with
+idempotence carried over), conflict-refused on divergence, and reclaimed by
+vacuum only after drop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.plans.lake import CommitConflict, LakeTable
+from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+from glad_tiles_pipeline_spark.sources.generator import change_log
+
+N = 8000
+BATCH = 2000
+HALF = N // 2 - 1  # offsets are 0-based
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    """Main table holding the first half of the log; second half staged
+    later on branches."""
+    log = str(tmp_path / "log")
+    change_log(spark, N).write.parquet(log)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    ingest_changelog(
+        spark, table, log, batch_size=BATCH, merge_mode="mor", max_batches=2
+    )
+    return table, log
+
+
+def _oracle_upto(spark, log, hi):
+    ev = spark.read.parquet(log).filter(F.col("offset") <= hi)
+    return oracle_state_df(spark, ev)
+
+
+def _eq(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stage_audit_publish_roundtrip(spark, tmp_path, setup):
+    table, log = setup
+    main_head = table.current_snapshot_id()
+    br = table.create_branch("audit")
+    assert table.list_branches() == ["audit"]
+
+    # stage the second half on the branch — full MoR machinery
+    res = ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor")
+    assert len([r for r in res if not r.get("skipped")]) == 2
+
+    # main is untouched; the branch reads the staged state (the audit)
+    assert table.current_snapshot_id() == main_head
+    _eq(table.scan(spark), _oracle_upto(spark, log, HALF))
+    _eq(br.scan(spark), oracle_state_df(spark, spark.read.parquet(log)))
+    # audit surfaces: history covers shared pre-fork history + staged rows,
+    # incremental exposes exactly the staged window
+    hist = br.history(spark).collect()
+    assert len(hist) == main_head + 3
+    inc = br.incremental(spark, main_head)
+    assert inc.count() > 0
+
+    out = table.publish_branch("audit")
+    assert out["published"] == 2
+    _eq(table.scan(spark), oracle_state_df(spark, spark.read.parquet(log)))
+    # idempotence carried over: replaying the log on MAIN applies nothing
+    res = ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor")
+    assert [r for r in res if not r.get("skipped")] == []
+    # publish is idempotent too (resumable fast-forward)
+    assert table.publish_branch("audit")["published"] == 0
+
+
+def test_publish_refuses_non_fast_forward(spark, tmp_path, setup):
+    table, log = setup
+    br = table.create_branch("audit")
+    ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor",
+                     max_batches=1)
+    # main advances with a DIFFERENT batch shape after the fork
+    ingest_changelog(spark, table, log, batch_size=BATCH // 2,
+                     merge_mode="mor", max_batches=1)
+    with pytest.raises(CommitConflict, match="diverged|not a fast-forward"):
+        table.publish_branch("audit")
+    # the staged branch remains readable for post-mortem
+    assert br.scan(spark).count() > 0
+    # audit-reject path: drop discards staged work, main unaffected
+    table.drop_branch("audit")
+    assert table.list_branches() == []
+    _eq(table.scan(spark), _oracle_upto(spark, log, HALF + BATCH // 2))
+
+
+def test_publish_refuses_branch_rollbacks_and_dead_fork(spark, tmp_path, setup):
+    table, log = setup
+    br = table.create_branch("rb")
+    ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor")
+    br.rollback(br._branch_meta()["fork_snapshot_id"] + 1)
+    with pytest.raises(ValueError, match="rollbacks"):
+        table.publish_branch("rb")
+    table.drop_branch("rb")
+
+    # fork point rolled back on main → unpublishable
+    br2 = table.create_branch("stale")
+    ingest_changelog(spark, br2, log, batch_size=BATCH, merge_mode="mor",
+                     max_batches=1)
+    table.rollback(1)
+    with pytest.raises(CommitConflict, match="rolled back"):
+        table.publish_branch("stale")
+
+
+def test_vacuum_retains_live_branch_files_until_drop(spark, tmp_path, setup):
+    table, log = setup
+    br = table.create_branch("audit")
+    ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor")
+    staged = {f["path"] for f in br.manifest(None)["files"]} - {
+        f["path"] for f in table.manifest(None)["files"]
+    }
+    assert staged
+    table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    _eq(br.scan(spark), oracle_state_df(spark, spark.read.parquet(log)))
+
+    table.drop_branch("audit")
+    table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    import os
+
+    gone = [p for p in staged if not os.path.exists(os.path.join(table.root, p))]
+    assert sorted(gone) == sorted(staged)
+
+
+def test_branch_handle_guards(spark, tmp_path, setup):
+    table, _ = setup
+    br = table.create_branch("g")
+    with pytest.raises(ValueError, match="main table handle"):
+        br.create_branch("nested")
+    with pytest.raises(ValueError, match="main table handle"):
+        br.vacuum()
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("g")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        table.create_branch("main")
+    with pytest.raises(ValueError, match="no such branch"):
+        table.branch("nope")
+    # pre-fork time travel works through the shared-history fallback
+    assert br.scan(spark, snapshot_id=1).count() > 0
