@@ -196,6 +196,92 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
     return jaccard_pairs(docs, cands, threshold=threshold)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing
+    ``min_hits``+ distinct word ``n``-gram shingles with any benchmark
+    (eval-set) document — the standard n-gram-overlap contamination check
+    run before training.  Returns (doc_id, bench_id, n_hits, overlap)
+    where overlap = |shared shingles| / |corpus doc's shingles|; feed the
+    distinct doc_ids to a left-anti join to produce the clean corpus.
+
+    100 TB shape: the benchmark side is eval-set-sized (thousands of docs
+    vs billions) → exploded shingles BROADCAST; the corpus side explodes
+    to slim (id, n_sh, shingle) rows and never shuffles — the only wide op
+    is the per-(doc, bench) count aggregation over join SURVIVORS, which
+    is output-sized (contamination is rare), not corpus-sized.  No UDF;
+    everything is one equi-join plus a hash aggregate."""
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh")
+    ).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id", "n_sh")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_hits").cast("int").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("overlap"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the ``k`` docs with the
+    lowest sha256(id) per stratum — a seedless, engine-independent shuffle
+    order (both Spark and the SQL oracle compute the identical hex), so
+    the sample is stable across reruns, partitionings, and engines: the
+    property a training-mix builder needs for reproducible data recipes.
+
+    100 TB shape: one window per stratum key — partial top-k pushes below
+    the exchange (rank ≤ k lets Spark's WindowGroupLimit prune each map
+    partition to k rows before the shuffle), so the wide stage moves
+    O(strata × k), not the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.sha2(F.col(id_col).cast("string"), 256), F.col(id_col)
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def hash_sample(
+    docs: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample: keep a row iff the first 8
+    hex digits of sha256(id), read as a uint32 fraction, fall below
+    ``rate``.  Unlike ``DataFrame.sample`` this is a pure column predicate
+    — reproducible across engines/partitionings, pushable into the scan,
+    and stable under re-runs (the contract consistent train/eval splits
+    need).  No shuffle at all."""
+    frac = F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8),
+                  16, 10).cast("double") / F.lit(float(2**32))
+    return docs.filter(frac < rate)
+
+
 def length_banded_pairs(
     docs: DataFrame,
     band_width: int = 16,

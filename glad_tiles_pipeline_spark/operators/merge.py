@@ -542,6 +542,8 @@ def compact(
     table: LakeTable,
     buckets: set[int] | None = None,
     batch_id: str | None = None,
+    cluster_by_key: bool = False,
+    target_file_rows: int | None = None,
 ) -> dict:
     """Rewrite merge-on-read buckets to one LWW-resolved generation per key.
 
@@ -550,7 +552,19 @@ def compact(
     batch must keep losing to a winning delete).  Idempotent via batch_id;
     fenced like any other commit.  At scale this runs asynchronously,
     bucket-subset at a time — each bucket's rewrite is independent.
-    """
+
+    ``cluster_by_key=True`` (Iceberg sort-order compaction parity) range-
+    partitions + sorts the winners by (bucket, repo, path) before the
+    write, and ``target_file_rows`` caps rows per output file — together
+    they produce files whose per-file repo min/max ranges are NARROW, so
+    the S22' repo-stats pruning in ``scan(repos=...)`` opens O(1) files
+    per repo instead of every file of the key's bucket.  Cost: one extra
+    shuffle of the winners (plus the range partitioner's sampling pass —
+    the winners are persisted across it, bounded by the bucket subset
+    being compacted); ingest hot-path cost is unchanged because
+    clustering only ever runs inside this background rewrite.  Skew-safe:
+    the range partitioner splits on sampled row counts, so a hot monorepo
+    spans several range partitions instead of hot-spotting one."""
     if table.migration() is not None:
         # bucket ids are ambiguous across the two live layout generations;
         # the rebucket step already LWW-compacts what it rewrites
@@ -596,8 +610,19 @@ def compact(
         order=["_commit_seq", "_offset"],
     ).drop("__pid")
 
+    pinned = None
+    if cluster_by_key:
+        pinned = resolved.persist()  # one materialization feeds the range
+        # partitioner's sample pass AND the write (no dedup recompute)
+        resolved = pinned.repartitionByRange(
+            target_parts, "__bucket", *key_names
+        ).sortWithinPartitions("__bucket", *key_names)
+
     data_abs, data_rel = table.new_data_dir()
-    resolved.write.partitionBy("__bucket").parquet(data_abs, mode="append")
+    writer = resolved.write
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+    writer.partitionBy("__bucket").parquet(data_abs, mode="append")
     _m_now = table.manifest(None)
     schema_version = _m_now["schema_version"]
     _key1 = _key1_name(_m_now, schema_version)
@@ -626,6 +651,8 @@ def compact(
                 rows += r
         lineage[str(b)] = {"files": bfiles, "rows_live": rows}
 
+    if pinned is not None:
+        pinned.unpersist()
     parent_offsets = table.manifest(expected_parent)["offsets"]
     snapshot_id = table.commit(
         batch_id=batch_id,

@@ -36,11 +36,14 @@ from glad_tiles_pipeline_spark.operators.dedup import (
     lww_dedup_window,
 )
 from glad_tiles_pipeline_spark.operators.docs import (
+    decontaminate,
     dedup_exact,
+    hash_sample,
     minhash_neardup,
     ngram_jaccard_blocked,
     normalized_text,
     simhash_neardup,
+    stratified_sample,
 )
 from glad_tiles_pipeline_spark.operators.multimodal import (
     decode_stub_features,
@@ -877,6 +880,33 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Training-data decontamination (X9): docs sharing ≥2 distinct 3-gram
+    shingles with the held-out 'benchmark' slice (every 101st doc).  The
+    benchmark side is broadcast; the corpus explodes to slim rows and
+    never shuffles pre-join."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    return decontaminate(corpus, bench, n=3, min_hits=2)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-lang quota sample (X10): 20 lowest-sha256(id) docs
+    per lang — engine-independent, reproducible training-mix sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", k=20).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli(0.1) split via a sha256 threshold predicate
+    (X10): a pure column filter — no shuffle, no RNG state."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.1).select("doc_id", "lang")
+
+
 def q_dedup_minhash(spark, sf_dir):
     """24 minhashes / 8 bands of 3: the (r=3, b=8) S-curve threshold
     (1/b)^(1/r) = 0.5 matches the query threshold exactly — near-certain
@@ -1002,6 +1032,43 @@ FROM (
     len(list_filter(words, x -> x IN ('el','la','los','es','que')))::DOUBLE AS es
   FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents)
 )
+"""
+
+# Exact twin of q_decontaminate: same shingle definition as _NGRAM_SQL,
+# same benchmark split (doc_id % 101), same min-hits HAVING.
+_DECON_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 1) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+),
+c AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle
+      FROM s WHERE doc_id % 101 <> 0),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle
+      FROM s WHERE doc_id % 101 = 0)
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS INT) AS n_hits,
+       round(count(*)::DOUBLE / c.n_sh, 6) AS overlap
+FROM c JOIN b USING (shingle)
+GROUP BY c.doc_id, b.bench_id, c.n_sh
+HAVING count(*) >= 2
+"""
+
+_STRAT_SAMPLE_SQL = r"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+_HASH_SAMPLE_SQL = r"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT)::DOUBLE / 4294967296.0 < 0.1
 """
 
 _NGRAM_SQL = r"""
@@ -1481,6 +1548,9 @@ _ALL_ORACLES: dict[str, str] = {
     # tests/test_similarity_recall.py), so the brute-force twin is its oracle
     "ann_lsh_topk": _ANN_SQL,
     "ann_ivf_topk": _IVF_SQL,
+    "decontaminate_ngram": _DECON_SQL,
+    "sample_stratified_quota": _STRAT_SAMPLE_SQL,
+    "sample_hash_bernoulli": _HASH_SAMPLE_SQL,
     "multimodal_decode_stub": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -1587,6 +1657,9 @@ EXTRA_QUERIES = {
     "text_pack_greedy": q_text_pack,
     "text_pack_global": q_text_pack_global,
     "ann_ivf_topk": q_ann_ivf,
+    "decontaminate_ngram": q_decontaminate,
+    "sample_stratified_quota": q_sample_stratified,
+    "sample_hash_bernoulli": q_sample_hash,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"

@@ -121,6 +121,29 @@ def test_no_row_python_udf_anywhere(spark):
     assert offenders == []
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """X9: the eval-set side must broadcast (no corpus-wide shuffle join)
+    and the whole plan must stay UDF-free."""
+    plan = _plan(EXTRA_QUERIES["decontaminate_ngram"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_stratified_sample_prunes_topk_before_shuffle(spark):
+    """X10a: rank ≤ k must engage WindowGroupLimit so each map partition
+    ships at most k rows per stratum into the window exchange."""
+    plan = _plan(EXTRA_QUERIES["sample_stratified_quota"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_sample_is_scan_plus_filter_only(spark):
+    """X10b: the Bernoulli split is one pushable predicate — no Exchange
+    anywhere in the plan."""
+    plan = _plan(EXTRA_QUERIES["sample_hash_bernoulli"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
 def test_shuffle_hash_hint_plans_shj(spark):
     """J3: the SHUFFLE_HASH hint must actually produce a ShuffledHashJoin
     (not SMJ) — hard plan evidence now that the query itself is demoted to

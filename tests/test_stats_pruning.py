@@ -176,6 +176,56 @@ def test_repo_scan_empty_set_and_stats_surfaced(spark, tables):
     )
 
 
+def test_clustered_compaction_narrows_repo_pruning(spark, tmp_path):
+    """cluster_by_key compaction (Iceberg sort-order rewrite) range-sorts
+    winners by (bucket, repo, path) and caps rows per file, so per-file
+    repo ranges become narrow — a single-repo scan then opens a small
+    fraction of files even though the INGEST batches interleaved repos
+    (where batch-clustered stats can't prune).  Equality is checked
+    against the unclustered state."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    log = str(tmp_path / "log")
+    change_log(spark, 4000).write.parquet(log)
+    ingest_changelog(spark, table, log, batch_size=1000, merge_mode="mor")
+    before = table.scan(spark)
+    n_repos = before.select("repo").distinct().count()
+
+    res = compact(spark, table, cluster_by_key=True, target_file_rows=100)
+    assert not res["skipped"]
+    after_files = table.manifest(None)["files"]
+    assert len(after_files) > 8, "target_file_rows must split bucket files"
+
+    after = table.scan(spark)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+    one = before.select("repo").first()["repo"]
+    pruned = table.scan(spark, repos=[one])
+    opened = len(pruned.inputFiles())
+    # each repo's keys hash across ALL buckets, so the clustering floor is
+    # one file per bucket (+1 boundary file per bucket at worst); anything
+    # near that floor — and well under half the table — proves the
+    # per-bucket repo ranges are narrow.  (Unclustered batches leave every
+    # file spanning the full repo range → all files open.)
+    n_buckets = 4
+    assert opened <= 2 * n_buckets + 2, (opened, len(after_files), n_repos)
+    assert opened < len(after_files) // 2, (opened, len(after_files))
+    ref = after.filter(F.col("repo") == one)
+    assert pruned.exceptAll(ref).count() == 0
+    assert ref.exceptAll(pruned).count() == 0
+
+    # sorted-within-file claim: each file's rows are (repo, path)-sorted
+    import pyarrow.parquet as pq
+    import os as _os
+
+    f0 = next(f for f in after_files if f["rows"] > 1)
+    t0 = pq.read_table(_os.path.join(table.root, f0["path"]),
+                       columns=["repo", "path"]).to_pandas()
+    assert list(t0.itertuples(index=False)) == sorted(
+        t0.itertuples(index=False)
+    )
+
+
 def test_repo_scan_composes_with_offset_window(spark, tables):
     cow = tables["cow"]
     one_repo = cow.scan(spark).select("repo").first()["repo"]
