@@ -456,6 +456,53 @@ class LakeTable:
         )
         return LakeTable(self.root, io=self.io, branch=name)
 
+    # -- tags (S24: named immutable snapshot refs) ------------------------------
+
+    def _tags_path(self) -> str:
+        return os.path.join(self._main_manifest_dir, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag parity): {name: snapshot_id}."""
+        if not self.io.exists(self._tags_path()):
+            return {}
+        return {
+            k: int(v)
+            for k, v in json.loads(self.io.read_text(self._tags_path())).items()
+        }
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a name — an immutable audit/release ref
+        (``scan(tag=...)``).  Tagged snapshots survive vacuum: their data
+        files are retained and the vacuum-horizon guard exempts them, so a
+        release cut months ago stays reproducible while ordinary history
+        ages out.  Single-admin op (like vacuum/rollback); main-only."""
+        if self.branch_name != "main":
+            raise ValueError("tag from the main table handle only")
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        self.manifest(sid)  # must exist
+        if self._is_dead(sid):
+            raise ValueError(f"snapshot v{sid} was rolled back; untaggable")
+        cur = self.tags()
+        if name in cur and cur[name] != sid:
+            raise ValueError(
+                f"tag {name!r} already pins v{cur[name]}; tags are "
+                "immutable — drop it first"
+            )
+        cur[name] = sid
+        self.io.put_atomic(self._tags_path(), json.dumps(cur))
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        if self.branch_name != "main":
+            raise ValueError("drop tags from the main table handle only")
+        cur = self.tags()
+        if name not in cur:
+            raise ValueError(f"no such tag {name!r}")
+        del cur[name]
+        self.io.put_atomic(self._tags_path(), json.dumps(cur))
+
     def branch(self, name: str) -> "LakeTable":
         """Open an existing staging branch."""
         t = LakeTable(self.root, io=self.io, branch=name)
@@ -705,6 +752,7 @@ class LakeTable:
         offset_range: tuple[int, int] | None = None,
         commit_seq_range: tuple[int, int] | None = None,
         repos: "list[str] | set[str] | None" = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id``, optionally pruned to a
         bucket subset.  Bucket pruning is the engine's custom partition-
@@ -739,12 +787,23 @@ class LakeTable:
         prune (buckets hash the full (repo, path) key), so file stats are
         the only IO lever for it.  Effective when ingest batches are
         repo-clustered (the common CDC shape: a push touches one repo).
+        ``tag``: read the snapshot a named ref pins (S24).  Tagged reads
+        are exempt from the vacuum-horizon guard — vacuum retains their
+        files, so a release tag stays readable after its history expired.
         """
-        if snapshot_id is not None and snapshot_id < self.vacuum_horizon():
-            raise ValueError(
-                f"snapshot {snapshot_id} is below the vacuum horizon "
-                f"{self.vacuum_horizon()}; its data files were expired"
-            )
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            tag_map = self.tags()
+            if tag not in tag_map:
+                raise ValueError(f"no such tag {tag!r}")
+            snapshot_id = tag_map[tag]
+        elif snapshot_id is not None and snapshot_id < self.vacuum_horizon():
+            if snapshot_id not in set(self.tags().values()):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is below the vacuum horizon "
+                    f"{self.vacuum_horizon()}; its data files were expired"
+                )
         m = self.manifest(snapshot_id)
         cur_fields = m["schemas"][str(m["schema_version"])]
         cur_schema = T.StructType(
@@ -1248,6 +1307,10 @@ class LakeTable:
         horizon = max(0, cur - keep_last + 1, self.vacuum_horizon())
         retained: set[str] = set()
         for sid in range(horizon, cur + 1):
+            retained |= {f["path"] for f in self.manifest(sid)["files"]}
+        # tags (S24) pin their snapshot's files forever (until drop_tag):
+        # a release ref must stay reproducible after ordinary history ages
+        for sid in set(self.tags().values()):
             retained |= {f["path"] for f in self.manifest(sid)["files"]}
         # live staging branches (S23) pin every file their staged snapshots
         # reference — dropped branches release them back to the orphan path

@@ -81,6 +81,25 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--incremental-from", type=int, default=None,
                    help="after ingest, print the row-count of the CDC-out "
                         "change feed since this snapshot id")
+    p.add_argument("--branch", default=None,
+                   help="stage this ingest on a write-audit-publish branch "
+                        "(created at the current main head if missing); "
+                        "main readers see nothing until --publish-branch")
+    p.add_argument("--publish-branch", default=None,
+                   help="fast-forward main to the named branch head "
+                        "(metadata-only; refuses non-fast-forward)")
+    p.add_argument("--drop-branch", default=None,
+                   help="discard a staging branch (audit-reject path)")
+    p.add_argument("--compact-after", action="store_true",
+                   help="compact merge-on-read deltas once ingest finishes")
+    p.add_argument("--cluster-by-key", action="store_true",
+                   help="with --compact-after: sort-order rewrite by "
+                        "(bucket, repo, path) so repo-stats pruning narrows")
+    p.add_argument("--target-file-rows", type=int, default=None,
+                   help="with --compact-after: cap rows per output file")
+    p.add_argument("--create-tag", default=None,
+                   help="tag the final snapshot with this name (immutable "
+                        "ref; vacuum retains its files)")
     p.add_argument("--master", default=None,
                    help="override master (tests); production uses spark-submit --master")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -116,6 +135,25 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.create(args.table, n_buckets=args.n_buckets)
     else:
         table = LakeTable(args.table)
+
+    if args.drop_branch is not None:
+        table.drop_branch(args.drop_branch)
+        print(f"dropped branch {args.drop_branch}")
+    if args.publish_branch is not None:
+        out = table.publish_branch(args.publish_branch)
+        print(f"published branch {out['branch']}: {out['published']} "
+              f"snapshot(s), head v{out['snapshot_id']}")
+    if args.branch is not None:
+        # stage onto the branch: all ingest below targets the branch handle
+        if args.mode == "stream":
+            raise SystemExit(
+                "--branch supports batch mode only (the stream checkpoint "
+                "is keyed to one manifest chain)"
+            )
+        if args.branch in table.list_branches():
+            table = table.branch(args.branch)
+        else:
+            table = table.create_branch(args.branch)
 
     if args.rollback_to is not None:
         if args.mode == "stream" and args.checkpoint is None:
@@ -174,6 +212,22 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=args.merge_mode,
             use_arrow_udfs=args.use_arrow_udfs,
         )
+
+    if args.compact_after:
+        from glad_tiles_pipeline_spark.operators.merge import compact
+
+        info = compact(
+            spark, table,
+            cluster_by_key=args.cluster_by_key,
+            target_file_rows=args.target_file_rows,
+        )
+        if not info.get("skipped"):
+            print(f"compacted {info['compacted_buckets']} bucket(s), "
+                  f"snapshot {info['snapshot_id']}")
+
+    if args.create_tag is not None:
+        sid = table.create_tag(args.create_tag)
+        print(f"tagged snapshot v{sid} as {args.create_tag}")
 
     vacuumed = None
     if args.vacuum_keep is not None:

@@ -126,6 +126,38 @@ def test_vacuum_retains_live_branch_files_until_drop(spark, tmp_path, setup):
     assert sorted(gone) == sorted(staged)
 
 
+def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path, setup):
+    """S24: a tag is an immutable named ref whose snapshot stays readable
+    — data files retained, horizon guard exempted — after vacuum expired
+    the ordinary history around it."""
+    table, log = setup
+    tagged_head = table.current_snapshot_id()
+    want = _oracle_upto(spark, log, table.last_committed_offset())
+    assert table.create_tag("release-1") == tagged_head
+
+    ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor")
+    table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert table.vacuum_horizon() > tagged_head
+
+    got = table.scan(spark, tag="release-1")
+    _eq(got, want)
+    # the same snapshot via snapshot_id is also exempt (it is tagged)...
+    _eq(table.scan(spark, snapshot_id=tagged_head), want)
+    # ...but its untagged neighbor below the horizon still refuses
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        table.scan(spark, snapshot_id=tagged_head - 1)
+
+    assert table.tags() == {"release-1": tagged_head}
+    with pytest.raises(ValueError, match="immutable"):
+        table.create_tag("release-1", snapshot_id=tagged_head - 1)
+    with pytest.raises(ValueError, match="no such tag"):
+        table.scan(spark, tag="nope")
+    with pytest.raises(ValueError, match="not both"):
+        table.scan(spark, snapshot_id=0, tag="release-1")
+    table.drop_tag("release-1")
+    assert table.tags() == {}
+
+
 def test_branch_handle_guards(spark, tmp_path, setup):
     table, _ = setup
     br = table.create_branch("g")
