@@ -24,10 +24,11 @@ import tempfile
 import time
 
 # Queries representative of each operator family (SURVEY.md §2); the full
-# 50-query driver matrix (+ 7 EXTRA_QUERIES spellings) is correctness-checked
-# by the driver / local DuckDB harness, not timed here.  The two round-2
-# perf-weak items (embedding near-dup verify, binned range join) are timed
-# explicitly so regressions show up in the artifact.
+# 50-query driver matrix (+ the EXTRA_QUERIES spellings, 17 as of round 4)
+# is correctness-checked by the driver / local DuckDB harness, not timed
+# here.  The two round-2 perf-weak items (embedding near-dup verify, binned
+# range join) are timed explicitly so regressions show up in the artifact;
+# round 4 adds its two new heavy operators (IVF ANN, decontamination).
 HEADLINE_QUERIES = [
     "flagship_cdc_enrich",
     "lww_dedup_window",
@@ -43,6 +44,8 @@ HEADLINE_QUERIES = [
     "text_quality_score",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "decontaminate_ngram",
 ]
 
 

@@ -98,8 +98,14 @@ def _key1_name(m: dict, schema_version) -> str:
     """Name of field id 1 (the repo half of the key) in ``schema_version``
     — what writers pass to ``_parquet_meta`` so repo stats are recorded
     under the physical column name of the files being written."""
+    return _key_name(m, schema_version, 1)
+
+
+def _key_name(m: dict, schema_version, field_id: int) -> str:
     return next(
-        f["name"] for f in m["schemas"][str(schema_version)] if f["id"] == 1
+        f["name"]
+        for f in m["schemas"][str(schema_version)]
+        if f["id"] == field_id
     )
 
 
@@ -439,6 +445,7 @@ def apply_batch(
     _m_now = table.manifest(None)
     schema_version = _m_now["schema_version"]
     _key1 = _key1_name(_m_now, schema_version)
+    _key2 = _key_name(_m_now, schema_version, 2)
     for entry in sorted(os.listdir(data_abs)):
         if not entry.startswith("__bucket="):
             continue
@@ -450,7 +457,7 @@ def apply_batch(
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
                 r, fstats = _parquet_meta(
-                    os.path.join(bdir, fn), str_cols=(_key1,)
+                    os.path.join(bdir, fn), str_cols=(_key1, _key2)
                 )
                 entry_meta = {
                     "path": rel, "bucket": b, "schema_version": schema_version,
@@ -626,6 +633,7 @@ def compact(
     _m_now = table.manifest(None)
     schema_version = _m_now["schema_version"]
     _key1 = _key1_name(_m_now, schema_version)
+    _key2 = _key_name(_m_now, schema_version, 2)
     new_files: list[dict] = []
     lineage: dict[str, dict] = {}
     for entry in sorted(os.listdir(data_abs)):
@@ -638,7 +646,7 @@ def compact(
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
                 r, fstats = _parquet_meta(
-                    os.path.join(bdir, fn), str_cols=(_key1,)
+                    os.path.join(bdir, fn), str_cols=(_key1, _key2)
                 )
                 entry_meta = {
                     "path": rel, "bucket": b, "schema_version": schema_version,

@@ -53,6 +53,7 @@ from glad_tiles_pipeline_spark.functions.hashing import bucket_col
 from glad_tiles_pipeline_spark.operators.dedup import lww_dedup
 from glad_tiles_pipeline_spark.operators.merge import (
     _key1_name,
+    _key_name,
     _parquet_meta,
     plan_partition_ids,
 )
@@ -207,6 +208,7 @@ def rebucket_step(
     resolved.write.partitionBy("__bucket").parquet(data_abs, mode="append")
     schema_version = m["schema_version"]
     _key1 = _key1_name(m, schema_version)
+    _key2 = _key_name(m, schema_version, 2)
     new_files: list[dict] = []
     lineage: dict[str, dict] = {}
     for entry in sorted(os.listdir(data_abs)):
@@ -219,7 +221,7 @@ def rebucket_step(
             if fn.endswith(".parquet"):
                 rel = os.path.join(data_rel, entry, fn)
                 r, fstats = _parquet_meta(
-                    os.path.join(bdir, fn), str_cols=(_key1,)
+                    os.path.join(bdir, fn), str_cols=(_key1, _key2)
                 )
                 entry_meta = {
                     "path": rel, "bucket": nb,

@@ -753,6 +753,7 @@ class LakeTable:
         commit_seq_range: tuple[int, int] | None = None,
         repos: "list[str] | set[str] | None" = None,
         tag: str | None = None,
+        key: tuple[str, str] | None = None,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id``, optionally pruned to a
         bucket subset.  Bucket pruning is the engine's custom partition-
@@ -790,7 +791,15 @@ class LakeTable:
         ``tag``: read the snapshot a named ref pins (S24).  Tagged reads
         are exempt from the vacuum-horizon guard — vacuum retains their
         files, so a release tag stays readable after its history expired.
+
+        ``key=(repo, path)``: exact-key point lookup (see ``lookup``) —
+        repo-stats pruning plus path-stats pruning inside single-repo
+        files, then the exact-key filter.
         """
+        if key is not None:
+            if repos is not None:
+                raise ValueError("pass key= or repos=, not both")
+            repos = [key[0]]
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
@@ -845,6 +854,53 @@ class LakeTable:
                 return s is None or any(s[0] <= r <= s[1] for r in wanted)
 
             files = [f for f in files if _repo_may_match(f)]
+        if key is not None:
+            # exact-bucket pruning: the bucket is a PURE function of the
+            # key, computed per live layout generation (migration-safe —
+            # unlike scan(buckets=), which refuses mid-migration because a
+            # bare bucket id is generation-ambiguous).  One 1-row Spark
+            # job evaluates the engine's own xxhash64 bucket expression so
+            # driver and executors can never disagree on the hash.
+            from glad_tiles_pipeline_spark.functions.hashing import bucket_col
+
+            layouts = m.get("layouts") or {"1": m["n_buckets"]}
+            krow = (
+                spark.range(1)
+                .select(F.lit(key[0]).alias("r"), F.lit(key[1]).alias("p"))
+                .select(
+                    *[
+                        bucket_col(int(nb), "r", "p").alias(f"g{gen}")
+                        for gen, nb in layouts.items()
+                    ]
+                )
+                .first()
+            )
+            want_bucket = {gen: krow[f"g{gen}"] for gen in layouts}
+            files = [
+                f
+                for f in files
+                if f["bucket"] == want_bucket.get(str(f.get("layout_gen", 1)))
+            ]
+            # path-half pruning for the point lookup: sound ONLY within
+            # single-repo files (repo_lo == repo_hi — the layout clustered
+            # compaction produces): there the file's path min/max bound the
+            # wanted key's path; a multi-repo file's path range says
+            # nothing about one repo's paths, so it is kept conservatively.
+            by_ver = {
+                ver: {f["id"]: f["name"] for f in fields}
+                for ver, fields in m["schemas"].items()
+            }
+
+            def _path_may_match(f: dict) -> bool:
+                s = f.get("stats") or {}
+                names = by_ver[str(f["schema_version"])]
+                k1 = s.get(names.get(1))
+                k2 = s.get(names.get(2))
+                if k1 is None or k2 is None or k1[0] != k1[1]:
+                    return True
+                return k2[0] <= key[1] <= k2[1]
+
+            files = [f for f in files if _path_may_match(f)]
         ranges: dict[str, tuple[int, int]] = {}
         if offset_range is not None:
             ranges["_offset"] = offset_range
@@ -866,6 +922,9 @@ class LakeTable:
             # key predicate: commutes with LWW resolution, filter early
             key1_cur = next(f["name"] for f in cur_fields if f["id"] == 1)
             out = out.filter(F.col(key1_cur).isin(sorted(set(repos))))
+        if key is not None:
+            key2_cur = next(f["name"] for f in cur_fields if f["id"] == 2)
+            out = out.filter(F.col(key2_cur) == key[1])
         if ranges and include_system:
             for col, (lo, hi) in ranges.items():
                 out = out.filter(F.col(col).between(lo, hi))
@@ -932,6 +991,27 @@ class LakeTable:
         return out
 
     # -- commit (S8/S10) -------------------------------------------------------
+
+    def lookup(
+        self,
+        spark: SparkSession,
+        repo: str,
+        path: str,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Point read: the current state of one (repo, path) key — the
+        CDC engine's key-value read surface ("what does this file contain
+        right now?").  Sound on every snapshot (key predicates commute
+        with LWW resolution); IO = the file-stats pruned subset: repo
+        min/max always applies, and inside single-repo files (which the
+        key-clustered compaction layout makes the normal case) the path
+        min/max applies too, so a clustered table opens ~one file per
+        bucket the key hashes into — O(1) of the table.  Returns zero
+        rows if the key is absent or its latest version is a delete."""
+        return self.scan(
+            spark, snapshot_id=snapshot_id, tag=tag, key=(repo, path)
+        )
 
     def new_data_dir(self) -> tuple[str, str]:
         """Unique directory for one commit attempt's data files.

@@ -226,6 +226,40 @@ def test_clustered_compaction_narrows_repo_pruning(spark, tmp_path):
     )
 
 
+def test_point_lookup_prunes_to_one_bucket_and_stays_exact(spark, tmp_path):
+    """lookup(repo, path): exact-bucket pruning (pure key function, via the
+    engine's own xxhash64 expression) + repo/path stats pruning.  On a
+    key-clustered layout the lookup must open ≲2 files of the whole table;
+    on a delta-pending MoR table it must still be row-exact (key predicates
+    commute with LWW resolution)."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    log = str(tmp_path / "log")
+    change_log(spark, 4000).write.parquet(log)
+    ingest_changelog(spark, table, log, batch_size=1000, merge_mode="mor")
+
+    full = table.scan(spark)
+    k = full.select("repo", "path").first()
+    ref = full.filter((F.col("repo") == k["repo"]) & (F.col("path") == k["path"]))
+
+    # delta-pending: exact, and already bucket-pruned to 1/4 of files
+    got = table.lookup(spark, k["repo"], k["path"])
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    n_total = len(table.manifest(None)["files"])
+    assert len(got.inputFiles()) <= n_total // 4 + 1
+
+    # clustered layout: ~one file opened
+    compact(spark, table, cluster_by_key=True, target_file_rows=100)
+    got = table.lookup(spark, k["repo"], k["path"])
+    assert got.count() == 1
+    assert len(got.inputFiles()) <= 2, got.inputFiles()
+    assert got.first()["content"] == ref.first()["content"]
+
+    # absent key → empty, not an error
+    assert table.lookup(spark, "no-such-repo", "nope").count() == 0
+    with pytest.raises(ValueError, match="not both"):
+        table.scan(spark, key=("a", "b"), repos=["a"])
+
+
 def test_repo_scan_composes_with_offset_window(spark, tables):
     cow = tables["cow"]
     one_repo = cow.scan(spark).select("repo").first()["repo"]
