@@ -1161,8 +1161,10 @@ class LakeTable:
     def incremental(
         self,
         spark: SparkSession,
-        from_snapshot: int,
+        from_snapshot: int | None = None,
         to_snapshot: int | None = None,
+        from_tag: str | None = None,
+        to_tag: str | None = None,
     ) -> DataFrame:
         """CDC-OUT: the row-level changes committed in ``(from_snapshot,
         to_snapshot]`` — the engine's own change feed (Iceberg incremental
@@ -1177,7 +1179,28 @@ class LakeTable:
         rewrite copies surviving rows into new files, so for exact
         semantics the window must not span a CoW/compaction commit; those
         commits rewrite — not change — data.  The mor ingest path, where a
-        change feed matters, appends pure delta files.)"""
+        change feed matters, appends pure delta files.)
+
+        ``from_tag``/``to_tag`` (S24 sugar): address the window by named
+        refs — "every change since release-7" is the common audit/export
+        ask; mutually exclusive with the corresponding snapshot id."""
+        for sid_arg, tag_arg, nm in (
+            (from_snapshot, from_tag, "from"),
+            (to_snapshot, to_tag, "to"),
+        ):
+            if sid_arg is not None and tag_arg is not None:
+                raise ValueError(f"pass {nm}_snapshot or {nm}_tag, not both")
+        tag_map = self.tags() if (from_tag or to_tag) else {}
+        if from_tag is not None:
+            if from_tag not in tag_map:
+                raise ValueError(f"no such tag {from_tag!r}")
+            from_snapshot = tag_map[from_tag]
+        if to_tag is not None:
+            if to_tag not in tag_map:
+                raise ValueError(f"no such tag {to_tag!r}")
+            to_snapshot = tag_map[to_tag]
+        if from_snapshot is None:
+            raise ValueError("from_snapshot or from_tag is required")
         cur = self.current_snapshot_id()
         if to_snapshot is None:
             to_snapshot = cur

@@ -158,6 +158,46 @@ def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path, setup):
     assert table.tags() == {}
 
 
+def test_staged_schema_evolution_publishes_verbatim(spark, tmp_path, setup):
+    """Schema ops staged on a branch are commits like any other: after
+    publish, main carries the evolved schema AND the data ingested under
+    it — the WAP shape for risky DDL."""
+    table, log = setup
+    br = table.create_branch("ddl")
+    br.evolve([{"op": "add_column", "name": "review_state", "type": "string"}],
+              batch_id="ddl-1")
+    ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor")
+    assert "review_state" not in [f.name for f in table.current_schema()]
+    table.publish_branch("ddl")
+    assert "review_state" in [f.name for f in table.current_schema()]
+    got = table.scan(spark)
+    assert got.filter(F.col("review_state").isNull()).count() == got.count()
+    _eq(
+        got.drop("review_state"),
+        oracle_state_df(spark, spark.read.parquet(log)),
+    )
+
+
+def test_incremental_between_tags(spark, tmp_path, setup):
+    """S24 sugar: incremental(from_tag=, to_tag=) ≡ the same snapshot
+    window — 'every change since release-N' without snapshot-id bookkeeping."""
+    table, log = setup
+    v_rel = table.current_snapshot_id()
+    table.create_tag("rel-1", v_rel)
+    ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor")
+    table.create_tag("rel-2")
+    by_tag = table.incremental(spark, from_tag="rel-1", to_tag="rel-2")
+    by_sid = table.incremental(spark, v_rel, table.tags()["rel-2"])
+    _eq(by_tag, by_sid)
+    assert by_tag.count() > 0
+    with pytest.raises(ValueError, match="not both"):
+        table.incremental(spark, from_snapshot=0, from_tag="rel-1")
+    with pytest.raises(ValueError, match="no such tag"):
+        table.incremental(spark, from_tag="nope")
+    with pytest.raises(ValueError, match="required"):
+        table.incremental(spark)
+
+
 def test_branch_handle_guards(spark, tmp_path, setup):
     table, _ = setup
     br = table.create_branch("g")
