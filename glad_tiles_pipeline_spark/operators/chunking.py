@@ -181,14 +181,14 @@ def pack_chunks_global(
         pdf["bin_idx"] = bins
         return pdf
 
-    return (
-        chunks.select(key_col, doc_col, order_col, size_col)
-        .groupBy(key_col)
-        .applyInPandas(
-            _pack,
-            f"{key_col} int, {doc_col} long, {order_col} int, "
-            f"{size_col} int, bin_idx int",
-        )
+    slim = chunks.select(key_col, doc_col, order_col, size_col)
+    # output schema mirrors the INPUT column types (the key may be a
+    # string lang, an int shard, ...) plus the computed bin index
+    in_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in slim.schema.fields
+    )
+    return slim.groupBy(key_col).applyInPandas(
+        _pack, f"{in_types}, bin_idx int"
     )
 
 

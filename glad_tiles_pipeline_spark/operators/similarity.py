@@ -365,6 +365,12 @@ def ivf_topk(
     column, the same join prunes cells at the manifest level (S22)."""
     from pyspark.sql import Window
 
+    # malformed rows (NULL embedding / wrong dimensionality) are filtered
+    # up front, like the LSH path: the assignment UDF needs rectangular
+    # Arrow batches, and a NULL can never be anyone's neighbor anyway
+    ok = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    corpus = corpus.filter(ok)
+    queries = queries.filter(ok)
     cents = [
         (r[0], r[1])
         for r in corpus.select(F.col(id_col), as_double(vec_col))

@@ -484,6 +484,13 @@ class LakeTable:
         self.manifest(sid)  # must exist
         if self._is_dead(sid):
             raise ValueError(f"snapshot v{sid} was rolled back; untaggable")
+        if sid < self.vacuum_horizon():
+            # vacuum exempts TAGGED snapshots going forward, but this one's
+            # files are already gone — the tag would be broken at creation
+            raise ValueError(
+                f"snapshot v{sid} is below the vacuum horizon "
+                f"{self.vacuum_horizon()}; its data files were expired"
+            )
         cur = self.tags()
         if name in cur and cur[name] != sid:
             raise ValueError(
@@ -803,6 +810,10 @@ class LakeTable:
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
+            if self.branch_name != "main":
+                # tags pin MAIN snapshot ids; a branch chain diverges at the
+                # fork, so resolving one here could silently read staged data
+                raise ValueError("tags resolve on the main table handle only")
             tag_map = self.tags()
             if tag not in tag_map:
                 raise ValueError(f"no such tag {tag!r}")
@@ -1190,6 +1201,8 @@ class LakeTable:
         ):
             if sid_arg is not None and tag_arg is not None:
                 raise ValueError(f"pass {nm}_snapshot or {nm}_tag, not both")
+        if (from_tag or to_tag) and self.branch_name != "main":
+            raise ValueError("tags resolve on the main table handle only")
         tag_map = self.tags() if (from_tag or to_tag) else {}
         if from_tag is not None:
             if from_tag not in tag_map:

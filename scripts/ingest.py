@@ -143,12 +143,19 @@ def main(argv: list[str] | None = None) -> int:
         out = table.publish_branch(args.publish_branch)
         print(f"published branch {out['branch']}: {out['published']} "
               f"snapshot(s), head v{out['snapshot_id']}")
+    main_table = table
     if args.branch is not None:
         # stage onto the branch: all ingest below targets the branch handle
         if args.mode == "stream":
             raise SystemExit(
                 "--branch supports batch mode only (the stream checkpoint "
                 "is keyed to one manifest chain)"
+            )
+        if args.create_tag is not None:
+            raise SystemExit(
+                "--create-tag with --branch is ambiguous (tags pin MAIN "
+                "snapshots; the staged work isn't on main yet) — publish "
+                "the branch first, then tag"
             )
         if args.branch in table.list_branches():
             table = table.branch(args.branch)
@@ -231,7 +238,9 @@ def main(argv: list[str] | None = None) -> int:
 
     vacuumed = None
     if args.vacuum_keep is not None:
-        vacuumed = table.vacuum(keep_last=args.vacuum_keep)
+        # vacuum is a global GC admin op: main handle only (and branch-
+        # aware retention already pins any files this run just staged)
+        vacuumed = main_table.vacuum(keep_last=args.vacuum_keep)
 
     applied = [r for r in results if not r.get("skipped")]
     summary = {

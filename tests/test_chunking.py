@@ -194,6 +194,22 @@ def test_pack_global_shares_bins_across_docs(spark, docs):
     assert packed.count() == chunks.count()
 
 
+def test_pack_global_accepts_string_keys(spark, docs):
+    """The docstring promises shard/lang/corpus-slice keys — the output
+    schema must mirror the input key's type, not assume int."""
+    from glad_tiles_pipeline_spark.operators.chunking import (
+        pack_chunks_global,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=8).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "py").otherwise("go")
+    )
+    packed = pack_chunks_global(chunks, capacity=64, key_col="lang")
+    assert dict(packed.dtypes)["lang"] == "string"
+    assert packed.count() == chunks.count()
+    assert packed.select("lang").distinct().count() == 2
+
+
 def test_pack_stream_equals_batch(spark, tmp_path):
     """The stateful-stream twin: micro-batch boundaries respecting global
     (doc_id, chunk_idx) order reproduce the batch pack bit-for-bit — the

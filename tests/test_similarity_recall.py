@@ -141,6 +141,22 @@ def test_ann_ivf_recall_at_5(emb):
     assert recall >= 0.85, f"ann_ivf recall@5 {recall} < 0.85"
 
 
+def test_ann_ivf_tolerates_malformed_vectors(spark, emb):
+    """A NULL or wrong-dimension embedding must be filtered, not crash the
+    assignment UDF's rectangular numpy batch."""
+    bad = spark.createDataFrame(
+        [(10**9, None), (10**9 + 1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    dirty = emb.select("vec_id", F.col("embedding").cast("array<double>")) \
+        .unionByName(bad)
+    queries = dirty.filter(F.col("vec_id") < 10)
+    out = ivf_topk(dirty, queries, dim=64, k=5, n_cells=16, nprobe=4)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.neighbor_id < 10**9 for r in rows)
+
+
 def test_embedding_neardup_matches_exact(emb):
     """The banded-LSH near-dup must agree with the exact all-pairs twin at
     the query threshold — this equality is what licenses the DuckDB oracle

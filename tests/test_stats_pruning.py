@@ -52,7 +52,7 @@ def _expected(spark, table, lo, hi):
 
 def test_writers_record_stats(spark, tables):
     for t in (tables["cow"], tables["mor"]):
-        files = tables["cow"].files(spark).collect()
+        files = t.files(spark).collect()
         assert all(f["offset_lo"] is not None for f in files)
         assert all(f["commit_seq_hi"] is not None for f in files)
         assert all(f["offset_lo"] <= f["offset_hi"] for f in files)

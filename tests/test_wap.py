@@ -149,7 +149,10 @@ def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path, setup):
 
     assert table.tags() == {"release-1": tagged_head}
     with pytest.raises(ValueError, match="immutable"):
-        table.create_tag("release-1", snapshot_id=tagged_head - 1)
+        table.create_tag("release-1")  # head != tagged_head: retag refused
+    # a tag below the horizon would be broken at creation: files are gone
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        table.create_tag("too-late", snapshot_id=tagged_head - 1)
     with pytest.raises(ValueError, match="no such tag"):
         table.scan(spark, tag="nope")
     with pytest.raises(ValueError, match="not both"):
@@ -211,5 +214,12 @@ def test_branch_handle_guards(spark, tmp_path, setup):
         table.create_branch("main")
     with pytest.raises(ValueError, match="no such branch"):
         table.branch("nope")
+    # tags pin MAIN snapshot ids — resolving one against a branch's
+    # divergent chain could silently read staged data
+    table.create_tag("t1")
+    with pytest.raises(ValueError, match="main table handle"):
+        br.scan(spark, tag="t1")
+    with pytest.raises(ValueError, match="main table handle"):
+        br.incremental(spark, from_tag="t1")
     # pre-fork time travel works through the shared-history fallback
     assert br.scan(spark, snapshot_id=1).count() > 0
