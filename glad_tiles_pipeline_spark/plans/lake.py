@@ -594,13 +594,19 @@ class LakeTable:
         bdir = os.path.join(self._main_manifest_dir, "branches", name)
         if not self.io.exists(os.path.join(bdir, "branch.json")):
             raise ValueError(f"no such branch {name!r}")
+        # an exists() probe can't detect the index on key-value backends
+        # (markers are bare keys, no directory entry) — list and tolerate
+        # the directory's absence instead
         idx = os.path.join(bdir, "batch-index")
-        if self.io.exists(idx):
-            for n in self.io.list_names(idx):
-                self.io.delete(os.path.join(idx, n))
-            self.io.rmdir_if_empty(idx)
+        try:
+            marker_names = self.io.list_names(idx)
+        except FileNotFoundError:
+            marker_names = []
+        for n in marker_names:
+            self.io.delete(os.path.join(idx, n))
+        self.io.rmdir_if_empty(idx)
         for n in self.io.list_names(bdir):
-            if n != "branch.json":
+            if n not in ("branch.json", "batch-index"):
                 self.io.delete(os.path.join(bdir, n))
         self.io.delete(os.path.join(bdir, "branch.json"))
         self.io.rmdir_if_empty(bdir)

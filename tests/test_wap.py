@@ -201,6 +201,58 @@ def test_incremental_between_tags(spark, tmp_path, setup):
         table.incremental(spark)
 
 
+def test_wap_lifecycle_on_in_memory_backend(spark, tmp_path):
+    """Seam-completeness (X5) extended to the round-4 surfaces: the whole
+    branch/tag lifecycle — fork, stage, audit, publish, tag, drop — runs
+    with ALL metadata in a dict and zero metadata files on disk.  Any
+    direct os.* metadata access in the new code paths would crash or fail
+    the no-files assertion."""
+    import os
+
+    from glad_tiles_pipeline_spark.plans.lake import InMemoryManifestIO
+
+    work = tmp_path / "mem"
+    log = str(work / "log")
+    change_log(spark, N).write.parquet(log)
+    root = str(work / "table")
+    io = InMemoryManifestIO(root)
+    table = LakeTable.create(root, n_buckets=4, io=io)
+    ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor",
+                     max_batches=2)
+
+    br = table.create_branch("audit")
+    ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor")
+    _eq(br.scan(spark), oracle_state_df(spark, spark.read.parquet(log)))
+    assert table.publish_branch("audit")["published"] == 2
+    table.create_tag("rel-1")
+    _eq(
+        table.scan(spark, tag="rel-1"),
+        oracle_state_df(spark, spark.read.parquet(log)),
+    )
+    table.drop_branch("audit")
+    assert table.list_branches() == []
+    assert not os.path.exists(os.path.join(root, "manifests")), (
+        "metadata leaked to disk — a branch/tag path bypassed ManifestIO"
+    )
+
+
+def test_concurrent_branches_race_on_publish(spark, tmp_path, setup):
+    """Two branches forked at the same snapshot: first publish wins the
+    fast-forward, the second refuses (its chain now diverges from main)."""
+    table, log = setup
+    b1 = table.create_branch("b1")
+    b2 = table.create_branch("b2")
+    ingest_changelog(spark, b1, log, batch_size=BATCH, merge_mode="mor")
+    ingest_changelog(spark, b2, log, batch_size=BATCH // 2, merge_mode="mor",
+                     max_batches=1)
+    assert table.publish_branch("b1")["published"] == 2
+    with pytest.raises(CommitConflict, match="diverged|not a fast-forward"):
+        table.publish_branch("b2")
+    # the loser's staged work remains intact for drop-and-restage
+    assert b2.scan(spark).count() > 0
+    table.drop_branch("b2")
+
+
 def test_branch_handle_guards(spark, tmp_path, setup):
     table, _ = setup
     br = table.create_branch("g")
