@@ -1279,12 +1279,12 @@ class LakeTable:
             stats = f.get("stats") or {}
             off = stats.get("_offset") or [None, None]
             seq = stats.get("_commit_seq") or [None, None]
-            key1 = next(
-                sf["name"]
+            names = {
+                sf["id"]: sf["name"]
                 for sf in m["schemas"][str(f["schema_version"])]
-                if sf["id"] == 1
-            )
-            rep = stats.get(key1) or [None, None]
+            }
+            rep = stats.get(names.get(1)) or [None, None]
+            pth = stats.get(names.get(2)) or [None, None]
             rows.append(
                 {
                     "path": f["path"],
@@ -1301,13 +1301,15 @@ class LakeTable:
                     "commit_seq_hi": seq[1],
                     "repo_lo": rep[0],
                     "repo_hi": rep[1],
+                    "path_lo": pth[0],
+                    "path_hi": pth[1],
                 }
             )
         schema = (
             "path string, bucket int, layout_gen int, schema_version int, "
             "is_delta boolean, size_bytes long, offset_lo long, "
             "offset_hi long, commit_seq_lo long, commit_seq_hi long, "
-            "repo_lo string, repo_hi string"
+            "repo_lo string, repo_hi string, path_lo string, path_hi string"
         )
         return spark.createDataFrame(rows, schema=schema)
 
