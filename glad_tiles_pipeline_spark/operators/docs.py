@@ -216,8 +216,11 @@ def decontaminate(
     to slim (id, n_sh, shingle) rows and never shuffles — the only wide op
     is the per-(doc, bench) count aggregation over join SURVIVORS, which
     is output-sized (contamination is rare), not corpus-sized.  No UDF;
-    everything is one equi-join plus a hash aggregate."""
-    c = corpus.select(
+    everything is one equi-join plus a hash aggregate.  The corpus side is
+    fanned out first (X2): text parquet under-splits by IO size, and the
+    shingle explode is exactly the CPU-heavy per-row expansion the width
+    probe exists for."""
+    c = fan_out(corpus).select(
         F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh")
     ).select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")

@@ -544,6 +544,33 @@ def apply_batch(
             "skipped": False, "metrics": metrics}
 
 
+def plan_compaction(
+    table: LakeTable,
+    max_delta_files: int = 4,
+    max_buckets: int | None = None,
+) -> set[int]:
+    """Background-maintenance policy (Iceberg binpack-selection parity):
+    pick the buckets whose merge-on-read delta-file count exceeds
+    ``max_delta_files`` — the read-amplification signal — worst first,
+    capped at ``max_buckets`` per round so each compaction stays O(step)
+    and the maintenance loop can run continuously beside ingest.  Pure
+    manifest arithmetic (no data IO); feed the result to
+    ``compact(spark, table, buckets=...)``.  At 10^10 events/day this is
+    the policy that keeps scan cost bounded without ever rewriting a cold
+    bucket."""
+    counts: dict[int, int] = {}
+    for f in table.manifest(None)["files"]:
+        if f.get("delta"):
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    worst = sorted(
+        (b for b, n in counts.items() if n > max_delta_files),
+        key=lambda b: -counts[b],
+    )
+    if max_buckets is not None:
+        worst = worst[:max_buckets]
+    return set(worst)
+
+
 def compact(
     spark: SparkSession,
     table: LakeTable,

@@ -93,3 +93,38 @@ def test_mor_time_travel_snapshots_resolve(spark, tmp_path, log_dir):
     got = table.scan(spark, snapshot_id=1)
     want = oracle_state_df(spark, first_events)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_plan_compaction_picks_worst_buckets_and_converges(
+    spark, tmp_path, log_dir
+):
+    """The maintenance policy: selection is pure manifest arithmetic,
+    worst delta counts first, bounded per round; compacting the planned
+    subsets round by round drains every bucket below the threshold while
+    state stays oracle-exact."""
+    from glad_tiles_pipeline_spark.operators.merge import plan_compaction
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, table, log_dir, batch_size=1000, merge_mode="mor")
+    # 6 batches appended one delta per touched bucket per batch
+    counts = {}
+    for f in table.manifest(None)["files"]:
+        if f.get("delta"):
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    assert plan_compaction(table, max_delta_files=99) == set()
+    picked = plan_compaction(table, max_delta_files=4, max_buckets=2)
+    assert len(picked) <= 2
+    assert all(counts[b] > 4 for b in picked)
+    worst_count = max(counts.values())
+    assert any(counts[b] == worst_count for b in picked)
+
+    rounds = 0
+    while True:
+        todo = plan_compaction(table, max_delta_files=0, max_buckets=3)
+        if not todo:
+            break
+        compact(spark, table, buckets=todo)
+        rounds += 1
+        assert rounds <= 4, "policy must converge: ceil(8/3) rounds"
+    assert table.unresolved_buckets() == set()
+    _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
