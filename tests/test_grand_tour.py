@@ -1,0 +1,85 @@
+"""Cross-feature integration: one table driven through the full round-4
+lifecycle — ingest → WAP stage/publish → mid-migration point lookups →
+re-bucketing → key-clustered compaction → tag → vacuum → incremental —
+with oracle equality (or the appropriate IO gate) asserted at EVERY step.
+Guards the interactions single-feature tests can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.merge import compact, plan_compaction
+from glad_tiles_pipeline_spark.operators.rebucket import (
+    rebucket_step,
+    start_rebucket,
+)
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+from glad_tiles_pipeline_spark.sources.generator import change_log
+
+N = 8000
+BATCH = 2000
+
+
+def _eq(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_grand_tour(spark, tmp_path):
+    log = str(tmp_path / "log")
+    change_log(spark, N).write.parquet(log)
+    events = spark.read.parquet(log)
+    oracle_full = oracle_state_df(spark, events)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+
+    # 1. half the log on main (MoR), half staged on a WAP branch, publish
+    ingest_changelog(spark, table, log, batch_size=BATCH, merge_mode="mor",
+                     max_batches=2)
+    br = table.create_branch("audit")
+    ingest_changelog(spark, br, log, batch_size=BATCH, merge_mode="mor")
+    _eq(br.scan(spark), oracle_full)
+    table.publish_branch("audit")
+    table.drop_branch("audit")
+    _eq(table.scan(spark), oracle_full)
+
+    # 2. pick a key; lookup is exact on the delta-pending state
+    k = table.scan(spark).select("repo", "path").first()
+    ref_row = table.scan(spark).filter(
+        (F.col("repo") == k["repo"]) & (F.col("path") == k["path"])
+    )
+
+    # 3. live re-bucketing 4 -> 8; lookup stays exact MID-MIGRATION
+    #    (generation-aware bucket pruning — scan(buckets=) must refuse here)
+    start_rebucket(table, 8)
+    rebucket_step(spark, table, max_buckets=2)
+    assert table.migration() is not None
+    got = table.lookup(spark, k["repo"], k["path"])
+    _eq(got, ref_row)
+    while table.migration() is not None:
+        rebucket_step(spark, table, max_buckets=2)
+    _eq(table.scan(spark), oracle_full)
+
+    # 4. policy-driven key-clustered compaction on the new layout
+    todo = plan_compaction(table, max_delta_files=0)
+    if todo:
+        compact(spark, table, buckets=todo, cluster_by_key=True,
+                target_file_rows=200)
+    _eq(table.scan(spark), oracle_full)
+    got = table.lookup(spark, k["repo"], k["path"])
+    _eq(got, ref_row)
+    assert len(got.inputFiles()) <= 2
+
+    # 5. tag the clustered release; vacuum history; the tag still reads
+    table.create_tag("release")
+    table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    _eq(table.scan(spark, tag="release"), oracle_full)
+
+    # 6. the change feed across the WHOLE lifecycle stays consumable:
+    #    incremental from the publish point merged over the published base
+    #    equals... nothing new happened after publish except rewrites, so
+    #    the exact-semantics guard must refuse windows spanning them
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.incremental(spark, 0)  # spans compaction/rebucket rewrites
