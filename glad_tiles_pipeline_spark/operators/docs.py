@@ -119,6 +119,35 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands(
+    sigs: DataFrame,
+    n_hashes: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band a minhash-signature frame (id, h0..h{K-1}) into slim
+    (id, band, band_hash) rows — ONE explode, pure expressions.  Shared by
+    the full-corpus LSH self-join and the incremental batch-vs-index join
+    (operators/incremental.py) so both produce bit-identical band keys:
+    the equivalence contract between them rests on this helper being the
+    single spelling of the banding."""
+    rows_per_band = n_hashes // n_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    return (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(F.col(id_col), F.col("bb.band").alias("band"),
+                F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -130,7 +159,6 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: band the signature (rows=n_hashes/n_bands),
     bucket-join docs sharing any band hash.  Returns (id_a, id_b) distinct,
     id_a < id_b."""
-    rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col)
     # ONE pass over the signatures: bands come out of an explode instead of
     # an n_bands-way union (which would re-run the shingle explode + K-min
@@ -140,20 +168,7 @@ def minhash_lsh_pairs(
     # tests/test_plan_shapes.py) executes the expensive explode+K-min ONCE
     # and serves both sides from the same shuffle output — same effect as
     # the round-1 persist() but with no storage-memory leak to unpersist.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = (
-        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
-        .select(F.col(id_col), F.col("bb.band").alias("band"),
-                F.col("bb.band_hash").alias("band_hash"))
-    )
+    banded = minhash_bands(sigs, n_hashes, n_bands, id_col)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -400,6 +415,37 @@ def simhash32(col: Column, token_hash: str = "xxhash64") -> Column:
     )
 
 
+def simhash_bands(
+    sigs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Pigeonhole bands of a 32-bit SimHash signature frame: the 32 bits
+    split into ``max_hamming + 1`` disjoint bands, one slim (id, sig, band,
+    band_bits) row per band.  Shared single spelling for the full-corpus
+    self-join and the incremental batch-vs-index join, like
+    ``minhash_bands``."""
+    n_bands = max_hamming + 1
+    width = (32 + n_bands - 1) // n_bands  # ceil: bands cover all 32 bits
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(sig_col), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_bits"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.col(sig_col).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        F.col(id_col), F.col("sig"),
+        F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"),
+    )
+
+
 def simhash_neardup(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -419,26 +465,10 @@ def simhash_neardup(
     band join (8 B/row).  Each band is an equi-join on a ~32/(h+1)-bit key:
     shuffle-friendly, never all-pairs; the explode costs (h+1)× rows of
     (id, sig, band, band_bits) — slim columns only."""
-    n_bands = max_hamming + 1
-    width = (32 + n_bands - 1) // n_bands  # ceil: bands cover all 32 bits
     sigs = fan_out(docs).select(
         F.col(id_col), simhash32(F.col(text_col), token_hash).alias("sig")
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("sig"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("band_bits"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        F.col(id_col), F.col("sig"),
-        F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"),
-    )
+    banded = simhash_bands(sigs, max_hamming, id_col=id_col)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_bits"
     )

@@ -328,6 +328,11 @@ def ivf_cells_udf(centroids, nprobe: int):
         X = np.array(s.tolist(), dtype=np.float64)  # (batch, dim)
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Cn.T
+        # a zero-norm vector yields all-NaN sims; map NaN → -inf so the
+        # lexsort places it deterministically (lowest cid wins) instead of
+        # depending on numpy's engine-specific NaN ordering — ivf_topk also
+        # filters zero-norm rows up front, this is defense in depth
+        np.nan_to_num(sims, copy=False, nan=-np.inf)
         # lexsort is stable: secondary key cid asc via primary -sims
         order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)
         return pd.Series(list(cids[order[:, :nprobe]]))
@@ -365,10 +370,20 @@ def ivf_topk(
     column, the same join prunes cells at the manifest level (S22)."""
     from pyspark.sql import Window
 
-    # malformed rows (NULL embedding / wrong dimensionality) are filtered
-    # up front, like the LSH path: the assignment UDF needs rectangular
-    # Arrow batches, and a NULL can never be anyone's neighbor anyway
-    ok = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    # malformed rows (NULL embedding / wrong dimensionality / zero norm)
+    # are filtered up front, like the LSH path: the assignment UDF needs
+    # rectangular Arrow batches, a NULL can never be anyone's neighbor, and
+    # a zero-norm vector has no defined cosine cell (cosine_udf yields NULL
+    # for it downstream anyway)
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & (F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ) > 0)
+    )
     corpus = corpus.filter(ok)
     queries = queries.filter(ok)
     cents = [

@@ -458,17 +458,33 @@ class LakeTable:
 
     # -- tags (S24: named immutable snapshot refs) ------------------------------
 
-    def _tags_path(self) -> str:
-        return os.path.join(self._main_manifest_dir, "tags.json")
+    def _tags_dir(self) -> str:
+        return os.path.join(self._main_manifest_dir, "tags")
+
+    def _tag_path(self, name: str) -> str:
+        # tag names are pre-validated to [A-Za-z0-9._-]{1,64}: filename-safe
+        return os.path.join(self._tags_dir(), f"{name}.json")
 
     def tags(self) -> dict[str, int]:
-        """Named snapshot refs (Iceberg tag parity): {name: snapshot_id}."""
-        if not self.io.exists(self._tags_path()):
-            return {}
-        return {
-            k: int(v)
-            for k, v in json.loads(self.io.read_text(self._tags_path())).items()
-        }
+        """Named snapshot refs (Iceberg tag parity): {name: snapshot_id}.
+
+        One put-if-absent file per tag (mirroring the batch-marker
+        pattern) so concurrent taggers CAS instead of read-modify-writing
+        a shared JSON — a lost race surfaces as "tag exists", never as a
+        silently dropped update."""
+        out: dict[str, int] = {}
+        legacy = os.path.join(self._main_manifest_dir, "tags.json")
+        if self.io.exists(legacy):  # pre-CAS tables remain readable
+            out.update(
+                {k: int(v) for k, v in json.loads(self.io.read_text(legacy)).items()}
+            )
+        tdir = self._tags_dir()
+        if self.io.exists(tdir):
+            for fn in self.io.list_names(tdir):
+                if fn.endswith(".json"):
+                    rec = json.loads(self.io.read_text(os.path.join(tdir, fn)))
+                    out[fn[: -len(".json")]] = int(rec["snapshot_id"])
+        return out
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Pin a snapshot under a name — an immutable audit/release ref
@@ -491,24 +507,51 @@ class LakeTable:
                 f"snapshot v{sid} is below the vacuum horizon "
                 f"{self.vacuum_horizon()}; its data files were expired"
             )
-        cur = self.tags()
-        if name in cur and cur[name] != sid:
+        existing = self.tags().get(name)
+        if existing is not None:
+            if existing != sid:
+                raise ValueError(
+                    f"tag {name!r} already pins v{existing}; tags are "
+                    "immutable — drop it first"
+                )
+            return sid  # idempotent re-create
+        payload = json.dumps({"name": name, "snapshot_id": sid})
+        if not self.io.put_if_absent(self._tag_path(name), payload):
+            rec = json.loads(self.io.read_text(self._tag_path(name)))
+            if int(rec["snapshot_id"]) != sid:
+                raise ValueError(
+                    f"tag {name!r} already pins v{rec['snapshot_id']}; "
+                    "tags are immutable — drop it first"
+                )
+            return sid  # lost the CAS to an identical tagger
+        # Close the tag/vacuum race: vacuum publishes its horizon BEFORE
+        # deleting files and reads tags AFTER that publish, so if the
+        # horizon we re-read here still clears sid, any concurrent vacuum
+        # that could expire sid's files will see this tag file and retain
+        # them; if the horizon moved past sid, the tag may be broken —
+        # undo and fail loudly rather than leave a dangling ref.
+        if sid < self.vacuum_horizon():
+            self.io.delete(self._tag_path(name))
             raise ValueError(
-                f"tag {name!r} already pins v{cur[name]}; tags are "
-                "immutable — drop it first"
+                f"snapshot v{sid} fell below the vacuum horizon while "
+                "tagging; tag aborted"
             )
-        cur[name] = sid
-        self.io.put_atomic(self._tags_path(), json.dumps(cur))
         return sid
 
     def drop_tag(self, name: str) -> None:
         if self.branch_name != "main":
             raise ValueError("drop tags from the main table handle only")
-        cur = self.tags()
-        if name not in cur:
-            raise ValueError(f"no such tag {name!r}")
-        del cur[name]
-        self.io.put_atomic(self._tags_path(), json.dumps(cur))
+        if self.io.exists(self._tag_path(name)):
+            self.io.delete(self._tag_path(name))
+            return
+        legacy = os.path.join(self._main_manifest_dir, "tags.json")
+        if self.io.exists(legacy):  # pre-CAS tables: single-admin caveat
+            cur = json.loads(self.io.read_text(legacy))
+            if name in cur:
+                del cur[name]
+                self.io.put_atomic(legacy, json.dumps(cur))
+                return
+        raise ValueError(f"no such tag {name!r}")
 
     def branch(self, name: str) -> "LakeTable":
         """Open an existing staging branch."""
@@ -746,6 +789,18 @@ class LakeTable:
             if bid == batch_id:
                 found = sid
         self._advance_indexed_through(cur)
+        if found is None and self.branch_name != "main":
+            # Pre-fork history is shared with main, but a branch's marker
+            # index is seeded empty with ``indexed_through`` at the fork —
+            # the suffix walk above never reaches pre-fork manifests.
+            # Consult main's index and accept only pre-fork commits, so
+            # apply_batch's "no-op on committed batch_id" contract holds on
+            # branch handles too (post-fork commits on MAIN must NOT count:
+            # the branch forked before them and never saw their effects).
+            fork = self._branch_meta()["fork_snapshot_id"]
+            sid = LakeTable(self.root, io=self.io).batch_committed(batch_id)
+            if sid is not None and sid <= fork:
+                found = sid
         return found
 
     # -- scan (S7) ------------------------------------------------------------
@@ -1429,6 +1484,18 @@ class LakeTable:
         # gone, and re-exposing those snapshots would trade the clear
         # time-travel error for a missing-file crash
         horizon = max(0, cur - keep_last + 1, self.vacuum_horizon())
+        # Publish the horizon BEFORE reading tags or deleting anything:
+        # create_tag re-checks the horizon after its CAS write, so this
+        # ordering gives a happens-before fence — either the tagger sees
+        # our raised horizon and aborts, or we see its tag file below and
+        # retain the pinned snapshot's data.  A crash after this publish
+        # leaves the horizon raised with files still present, which is
+        # safe (the horizon only promises "older than this MAY be gone").
+        self.io.put_atomic(
+            os.path.join(self.root, "vacuum.json"),
+            json.dumps({"vacuum_horizon": horizon, "vacuumed_at": time.time(),
+                        "phase": "begin"}),
+        )
         retained: set[str] = set()
         for sid in range(horizon, cur + 1):
             retained |= {f["path"] for f in self.manifest(sid)["files"]}

@@ -942,6 +942,70 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+_SIG_INDEX_CACHE: dict[str, object] = {}
+
+
+def _sig_index_for(spark, sf_dir):
+    """Signature index over corpus ∖ batch (doc_id % 7 != 3), built once
+    per sf_dir through the real MERGE path and compacted — the persisted
+    state an ingest pipeline would already have when the batch arrives.
+    Cached across the two incremental queries (and bench reruns)."""
+    idx = _SIG_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        from glad_tiles_pipeline_spark.operators.incremental import (
+            create_signature_index,
+            update_signature_index,
+        )
+        from glad_tiles_pipeline_spark.operators.merge import compact
+
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 7 != 3)
+        root = tempfile.mkdtemp(prefix="sig_index_")
+        idx = create_signature_index(root + "/index", n_buckets=8)
+        update_signature_index(spark, idx, base, "sig-base", 0)
+        compact(spark, idx, batch_id="sig-compact")
+        _SIG_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental batch-vs-index near-dup: docs with doc_id % 7 == 3 play
+    the incoming batch, everything else is pre-indexed signatures
+    (operators/incremental.py — only the batch is shingled; the corpus
+    side reads integer signature columns and probes a broadcast of the
+    banded batch).  Oracle: the exact all-pairs Jaccard twin restricted to
+    pairs touching the batch — valid for the same recall-1.0 reason as
+    ``dedup_minhash_lsh``, plus the bit-exact equivalence to the full
+    recompute asserted by tests/test_incremental_dedup.py."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_minhash_neardup,
+        index_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    sigs = index_signatures(spark, _sig_index_for(spark, sf_dir))
+    return incremental_minhash_neardup(docs, batch, sigs, threshold=0.5)
+
+
+def q_dedup_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash near-dup against the same persisted index — no
+    corpus text read at all (verify is bit math on stored signatures).
+    sha256 token-hash spelling so DuckDB recomputes both sides'
+    signatures bit-for-bit; restricted to pairs touching the batch."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_simhash_neardup,
+        index_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    sigs = index_signatures(spark, _sig_index_for(spark, sf_dir))
+    return incremental_simhash_neardup(batch, sigs)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Banded-LSH candidates + exact-cosine verify; threshold 0.45 sits just
     inside the fixtures' similarity range (14 pairs at sf0.01) so the oracle
@@ -1541,6 +1605,15 @@ _ALL_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
+    # incremental twins: the same exact recomputes, restricted to pairs
+    # touching the batch (doc_id % 7 == 3) — the equivalence the persisted
+    # signature index must reproduce (tests/test_incremental_dedup.py)
+    "dedup_minhash_incremental": (
+        f"SELECT * FROM ({_MINHASH_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
+    ),
+    "dedup_simhash_incremental": (
+        f"SELECT * FROM ({_SIMHASH_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
+    ),
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "ann_bruteforce_topk": _ANN_SQL,
     # ann_lsh_topk ranks LSH candidates by EXACT cosine; recall@k is 1.0 at
@@ -1658,6 +1731,8 @@ EXTRA_QUERIES = {
     "text_pack_global": q_text_pack_global,
     "ann_ivf_topk": q_ann_ivf,
     "decontaminate_ngram": q_decontaminate,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "sample_stratified_quota": q_sample_stratified,
     "sample_hash_bernoulli": q_sample_hash,
 }

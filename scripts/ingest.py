@@ -109,6 +109,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
 
+    if args.publish_branch is not None and args.publish_branch == args.branch:
+        # --publish-branch runs BEFORE staging, so `--branch X
+        # --publish-branch X` would publish X's stale pre-run head and leave
+        # this run's batches staged-but-unpublished while printing success.
+        raise SystemExit(
+            "--branch and --publish-branch name the same branch: publish "
+            "runs before staging, so this would publish the PRE-run head. "
+            "Run the ingest first, then publish in a second invocation."
+        )
+
     from glad_tiles_pipeline_spark.plans.lake import LakeTable
     from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
     from glad_tiles_pipeline_spark.session import get_spark
