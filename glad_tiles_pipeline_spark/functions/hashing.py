@@ -51,3 +51,59 @@ def bucket_col(n_buckets: int, repo: str = "repo", path: str = "path") -> Column
     pmod (not %) so the result is non-negative for negative hashes.
     """
     return F.pmod(F.xxhash64(F.col(repo), F.col(path)), F.lit(n_buckets)).cast("int")
+
+
+# -- S27: per-file key blooms for point lookups ------------------------------
+#
+# One sha256 per key yields EIGHT independent 16-bit probe positions (the
+# digest's first 8 disjoint 4-hex-char slices), so the bloom geometry is
+# fixed at m = 2^16 bits (8 KiB packed), k = 8 — no modulo bias, and the
+# same positions are computable JVM-side (write path, ``sha2`` inside
+# codegen) and driver-side (lookup planning, ``hashlib``) with zero
+# cross-engine drift.  fpp at the row cap (16 Ki keys): (1-e^-2)^8 ~ 0.25 —
+# a saturating file keeps a 4x prune; at a typical per-bucket delta size
+# (~1-2k keys) fpp < 1e-5.  Files above the cap skip the bloom (compaction's
+# key-clustered layout gives them min/max path pruning instead).
+BLOOM_BITS = 1 << 16
+BLOOM_MAX_ROWS = 16384
+_BLOOM_K = 8
+_KEY_SEP = "\x00"
+
+
+def bloom_positions_expr(key1: str, key2: str) -> Column:
+    """array<int> of the 8 bloom probe positions for each row's key —
+    pure JVM expressions (sha2 + conv), no Python on the write path."""
+    digest = F.sha2(
+        F.concat(F.col(key1), F.lit(_KEY_SEP), F.col(key2)), 256
+    )
+    return F.array(
+        *[
+            F.conv(F.substring(digest, 4 * i + 1, 4), 16, 10).cast("int")
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def bloom_positions(repo: str, path: str) -> list[int]:
+    """Driver-side twin of ``bloom_positions_expr`` (bit-identical:
+    both hash the UTF-8 bytes of ``repo + NUL + path``)."""
+    hexd = hashlib.sha256(f"{repo}{_KEY_SEP}{path}".encode("utf-8")).hexdigest()
+    return [int(hexd[4 * i : 4 * i + 4], 16) for i in range(_BLOOM_K)]
+
+
+def pack_bloom(positions) -> str:
+    """Pack set-bit positions into a base64 bitmap for the manifest entry."""
+    import base64
+
+    bm = bytearray(BLOOM_BITS // 8)
+    for p in positions:
+        bm[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bm)).decode("ascii")
+
+
+def bloom_may_contain(b64: str, positions: list[int]) -> bool:
+    """Membership test: False is definite (the key is NOT in the file)."""
+    import base64
+
+    bm = base64.b64decode(b64)
+    return all(bm[p >> 3] & (1 << (p & 7)) for p in positions)

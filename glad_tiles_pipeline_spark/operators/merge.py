@@ -168,6 +168,98 @@ def apply_schema_controls(table: LakeTable, controls: list[dict], batch_id: str)
     return table.evolve(ops, batch_id=f"{batch_id}:evo")
 
 
+def _collect_bucket_entries(
+    root_abs: str,
+    root_rel: str,
+    *,
+    schema_version: int,
+    write_gen: int,
+    str_cols: tuple,
+    kind: str | None = None,
+    delta: bool = False,
+    with_stats: bool = True,
+) -> tuple[list[dict], dict]:
+    """Walk one commit directory's ``__bucket=`` partitions into manifest
+    file entries + per-bucket lineage.  ``kind`` tags S26 sidecars
+    (``tomb`` memos / ``dv`` kill lists); ``with_stats=False`` skips the
+    footer stats read for files whose columns aren't table columns."""
+    entries: list[dict] = []
+    lineage: dict[str, dict] = {}
+    for entry in sorted(os.listdir(root_abs)):
+        if not entry.startswith("__bucket="):
+            continue
+        b = int(entry.split("=")[1])
+        bdir = os.path.join(root_abs, entry)
+        bfiles, rows = [], 0
+        for fn in sorted(os.listdir(bdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.join(root_rel, entry, fn)
+            if with_stats:
+                r, fstats = _parquet_meta(os.path.join(bdir, fn), str_cols=str_cols)
+            else:
+                r, fstats = _parquet_rows(os.path.join(bdir, fn)), None
+            em = {
+                "path": rel, "bucket": b, "schema_version": schema_version,
+                "rows": r, "layout_gen": write_gen,
+            }
+            if fstats:
+                em["stats"] = fstats
+            if delta:
+                em["delta"] = True
+            if kind:
+                em["kind"] = kind
+            entries.append(em)
+            bfiles.append(rel)
+            rows += r
+        lineage[str(b)] = {"files": bfiles, "rows_live": rows}
+    return entries, lineage
+
+
+def _attach_blooms(
+    spark: SparkSession, root: str, entries: list[dict], key1: str, key2: str
+) -> None:
+    """S27: per-file key blooms for the manifest entries just written, so
+    ``lookup`` prunes fresh (uncompacted) delta/tomb files by exact key —
+    the point-read IO lever BEFORE key-clustered compaction gives path
+    min/max stats teeth.  One extra column-pruned pass over only the
+    ELIGIBLE files (rows <= BLOOM_MAX_ROWS — per-batch-per-bucket files,
+    O(batch)); probe positions are pure JVM exprs, the driver packs at
+    most 8 KiB per file.  Big files (compaction output, CoW buckets) skip
+    the bloom: their pruning story is clustered stats, and an
+    over-capacity bloom is dead manifest weight.  dv kill lists carry no
+    keys and are skipped."""
+    import re as _re
+
+    from glad_tiles_pipeline_spark.functions.hashing import (
+        BLOOM_MAX_ROWS,
+        bloom_positions_expr,
+        pack_bloom,
+    )
+
+    elig = {
+        f["path"]: f
+        for f in entries
+        if f.get("kind") != "dv" and 0 < f["rows"] <= BLOOM_MAX_ROWS
+    }
+    if not elig:
+        return
+    src = spark.read.parquet(*[os.path.join(root, p) for p in elig])
+    rows = (
+        src.select(
+            F.input_file_name().alias("__f"),
+            F.explode(bloom_positions_expr(key1, key2)).alias("p"),
+        )
+        .groupBy("__f")
+        .agg(F.collect_set("p").alias("ps"))
+        .collect()
+    )
+    for r in rows:
+        rel = os.path.relpath(_re.sub(r"^file:/+", "/", r["__f"]), root)
+        if rel in elig:
+            elig[rel]["bloom"] = pack_bloom(r["ps"])
+
+
 def apply_batch(
     spark: SparkSession,
     table: LakeTable,
@@ -211,14 +303,17 @@ def apply_batch(
     parent_manifest = table.manifest(expected_parent)
     fields = table.current_fields()
     write_gen, n_buckets = table.write_layout()
-    if merge_mode == "cow" and table.migration() is not None:
+    if merge_mode in ("cow", "mor_dv") and table.migration() is not None:
         # CoW prunes the live scan by bucket id and replaces whole buckets —
-        # both ambiguous while two layout generations are live.  MoR appends
-        # pure deltas (routed under the new layout) and is exact throughout.
+        # both ambiguous while two layout generations are live; mor_dv's
+        # write-time arbitration does a bucket-pruned live read with the
+        # same ambiguity (and its kills reference files a rebucket step may
+        # retire).  MoR appends pure deltas (routed under the new layout)
+        # and is exact throughout.
         raise ValueError(
-            "cow ingest during an active re-bucketing migration is "
-            "unsupported; ingest with merge_mode='mor' until the migration "
-            "finishes"
+            f"{merge_mode} ingest during an active re-bucketing migration "
+            "is unsupported; ingest with merge_mode='mor' until the "
+            "migration finishes"
         )
     key_names = [f["name"] for f in fields if f["id"] in (1, 2)]  # repo, path ids
     target_parts = max(2 * spark.sparkContext.defaultParallelism, 1)
@@ -257,7 +352,7 @@ def apply_batch(
             int(r["__bucket"]): int(r["n_events"] or r["winners"])
             for r in bucket_stats
         }
-    elif merge_mode == "mor":
+    elif merge_mode in ("mor", "mor_dv"):
         affected = None  # discovered from the written files
         pm = parent_manifest.get("metrics") or {}
         # the parent's per-bucket distribution only transfers if it was
@@ -397,7 +492,7 @@ def apply_batch(
                 order=["_commit_seq", "_offset"],
             ).drop("__pid")
         )
-    elif merge_mode == "mor":
+    elif merge_mode in ("mor", "mor_dv"):
         # Merge-on-read: append this batch's winners as per-bucket delta
         # files — write cost O(batch), never O(table).  Readers (scan) and
         # the compactor resolve the LWW arg-max across generations; the
@@ -406,7 +501,8 @@ def apply_batch(
         # restores read-optimal layout asynchronously.  The argmax path
         # folds the per-key pre-dedup event count into the same
         # HashAggregate (``_n_src_events``), which the post-write stats
-        # read back.
+        # read back.  mor_dv shares the winner computation, then arbitrates
+        # against the live table at write time (S26, below).
         src_events, _n_pids = plan_partition_ids(
             incoming_raw, bucket_rows, 4 * target_parts, path_col=key_names[1]
         )
@@ -434,51 +530,102 @@ def apply_batch(
     else:
         raise ValueError(f"unknown merge_mode: {merge_mode}")
 
-    # new_data is already hash-partitioned by __bucket (the one shuffle),
-    # so partitionBy splits cleanly into one file per bucket per partition.
-    data_abs, data_rel = table.new_data_dir()
-    new_data.write.partitionBy("__bucket").parquet(data_abs, mode="append")
-
-    # -- 5. manifest: new files per bucket, lineage, metrics, fenced commit
-    new_files: list[dict] = []
-    lineage: dict[str, dict] = {}
     _m_now = table.manifest(None)
     schema_version = _m_now["schema_version"]
     _key1 = _key1_name(_m_now, schema_version)
     _key2 = _key_name(_m_now, schema_version, 2)
-    for entry in sorted(os.listdir(data_abs)):
-        if not entry.startswith("__bucket="):
-            continue
-        b = int(entry.split("=")[1])
-        bdir = os.path.join(data_abs, entry)
-        bfiles = []
-        rows = 0
-        for fn in sorted(os.listdir(bdir)):
-            if fn.endswith(".parquet"):
-                rel = os.path.join(data_rel, entry, fn)
-                r, fstats = _parquet_meta(
-                    os.path.join(bdir, fn), str_cols=(_key1, _key2)
-                )
-                entry_meta = {
-                    "path": rel, "bucket": b, "schema_version": schema_version,
-                    "rows": r, "layout_gen": write_gen,
-                }
-                if fstats:
-                    entry_meta["stats"] = fstats
-                if merge_mode == "mor":
-                    entry_meta["delta"] = True
-                new_files.append(entry_meta)
-                bfiles.append(rel)
-                rows += r
-        lineage[str(b)] = {"files": bfiles, "rows_live": rows}
+    n_kills = 0
 
-    if merge_mode == "mor":
-        # Exact batch stats from the files just written: column-pruned read
-        # of the system columns only (winner rows, ~30 B each) — orders of
-        # magnitude cheaper than a second scan of the raw batch.
-        if new_files:
+    if merge_mode == "mor_dv":
+        # -- S26: positional-delete merge-on-read (Iceberg v2 parity).
+        #    Arbitrate the batch winners against the CURRENT live state at
+        #    write time, then publish three kinds of files:
+        #      * data — winners that won and aren't deletes (live rows);
+        #      * tomb — delete winners as full-schema tombstone MEMOS,
+        #        read by future merges/compactions (a still-older late
+        #        event must keep losing to a winning delete) but never by
+        #        resolved readers;
+        #      * dv — (path, pos) kill lists for the superseded live rows.
+        #    Resolved scans then need NO LWW shuffle at all: data files
+        #    hold exactly one live version per key, and the kills are a
+        #    broadcast anti-join (plan gate: tests/test_mor_dv.py).
+        #    Write cost: one SLIM read of the affected buckets (keys +
+        #    ordering + positions, ~60 B/row — never content) — the price
+        #    Iceberg v2 pays to locate positions, traded for
+        #    resolution-free reads between compactions.
+        affected_dv = {
+            r["__bucket"]
+            for r in new_data.select("__bucket").distinct().collect()
+        }
+        existing = table.scan(
+            spark, buckets=affected_dv, include_system=True,
+            with_positions=True,
+        ).select(
+            F.col(_key1), F.col(_key2),
+            F.col("_commit_seq").alias("__e_cs"),
+            F.col("_offset").alias("__e_off"),
+            "__fp", "__pos",
+        )
+        e_max = lww_dedup_argmax(
+            existing, key=[_key1, _key2], order=["__e_cs", "__e_off"]
+        )
+        j = new_data.join(e_max, key_names, "left")
+        won = j.filter(
+            F.col("__e_cs").isNull()
+            | (
+                F.struct(F.col("_commit_seq"), F.col("_offset"))
+                > F.struct(
+                    F.col("__e_cs").alias("_commit_seq"),
+                    F.col("__e_off").alias("_offset"),
+                )
+            )
+        ).persist()
+        kills = won.filter(F.col("__fp").isNotNull()).select(
+            F.col("__fp").alias("path"), F.col("__pos").alias("pos"),
+            F.col("__bucket"),
+        )
+        out_rows = won.drop("__e_cs", "__e_off", "__fp", "__pos")
+        data_abs, data_rel = table.new_data_dir()
+        tomb_abs, tomb_rel = table.new_data_dir()
+        dv_abs, dv_rel = table.new_data_dir()
+        out_rows.filter(~F.col("_deleted")).write.partitionBy(
+            "__bucket"
+        ).parquet(data_abs, mode="append")
+        out_rows.filter(F.col("_deleted")).write.partitionBy(
+            "__bucket"
+        ).parquet(tomb_abs, mode="append")
+        kills.write.partitionBy("__bucket").parquet(dv_abs, mode="append")
+        won.unpersist()
+        new_files, lineage = _collect_bucket_entries(
+            data_abs, data_rel, schema_version=schema_version,
+            write_gen=write_gen, str_cols=(_key1, _key2),
+        )
+        tomb_files, tomb_lineage = _collect_bucket_entries(
+            tomb_abs, tomb_rel, schema_version=schema_version,
+            write_gen=write_gen, str_cols=(_key1, _key2), kind="tomb",
+        )
+        dv_files, _dv_lineage = _collect_bucket_entries(
+            dv_abs, dv_rel, schema_version=schema_version,
+            write_gen=write_gen, str_cols=(), kind="dv", with_stats=False,
+        )
+        new_files += tomb_files
+        _attach_blooms(spark, table.root, new_files, _key1, _key2)
+        new_files += dv_files
+        for b, frag in tomb_lineage.items():
+            lineage.setdefault(b, {"files": [], "rows_live": 0})
+            lineage[b]["tombstones"] = frag["rows_live"]
+            lineage[b]["files"] = lineage[b]["files"] + frag["files"]
+        n_kills = sum(f["rows"] for f in dv_files)
+        row_dirs = [  # skip empty writes (parquet refuses an empty glob)
+            d for d in (data_abs, tomb_abs)
+            if any(e.startswith("__bucket=") for e in os.listdir(d))
+        ]
+        if row_dirs:
+            stats_src = spark.read.parquet(row_dirs[0])
+            for d in row_dirs[1:]:  # separate roots: partition discovery
+                stats_src = stats_src.unionByName(spark.read.parquet(d))
             bucket_stats = (
-                spark.read.parquet(data_abs)
+                stats_src
                 .groupBy("__bucket")
                 .agg(
                     F.count("*").alias("winners"),
@@ -491,6 +638,41 @@ def apply_batch(
         else:
             bucket_stats = []
         affected = {r["__bucket"] for r in bucket_stats}
+    else:
+        # new_data is already hash-partitioned by __bucket (the one
+        # shuffle), so partitionBy splits cleanly into one file per bucket
+        # per partition.
+        data_abs, data_rel = table.new_data_dir()
+        new_data.write.partitionBy("__bucket").parquet(data_abs, mode="append")
+
+        # -- 5. manifest: new files per bucket, lineage, metrics, commit
+        new_files, lineage = _collect_bucket_entries(
+            data_abs, data_rel, schema_version=schema_version,
+            write_gen=write_gen, str_cols=(_key1, _key2),
+            delta=(merge_mode == "mor"),
+        )
+
+        if merge_mode == "mor":
+            _attach_blooms(spark, table.root, new_files, _key1, _key2)
+            # Exact batch stats from the files just written: column-pruned
+            # read of the system columns only (winner rows, ~30 B each) —
+            # orders of magnitude cheaper than a second scan of the raw
+            # batch.
+            if new_files:
+                bucket_stats = (
+                    spark.read.parquet(data_abs)
+                    .groupBy("__bucket")
+                    .agg(
+                        F.count("*").alias("winners"),
+                        F.sum(F.col("_deleted").cast("long")).alias("deleted"),
+                        F.max("_offset").alias("off_hi"),
+                        F.sum("_n_src_events").alias("n_events"),
+                    )
+                    .collect()
+                )
+            else:
+                bucket_stats = []
+            affected = {r["__bucket"] for r in bucket_stats}
 
     n_winners = sum(r["winners"] for r in bucket_stats)
     n_deletes = sum(r["deleted"] or 0 for r in bucket_stats)
@@ -522,6 +704,11 @@ def apply_batch(
         "dupes_dropped": events_read - int(n_winners),
         "deletes_requested": int(n_deletes),
         "buckets_rewritten": len(affected) if merge_mode == "cow" else 0,
+        # S26: live rows superseded by this batch, recorded as positional
+        # kills.  Under mor_dv, "winners" counts rows that actually WON
+        # write-time arbitration (a late batch-winner losing to a newer
+        # stored row is applied as nothing — correct, and visible here).
+        "position_kills": int(n_kills),
         "merge_mode": merge_mode,
         # per-bucket event distribution — next batch's partition planner
         # reads this instead of pre-scanning its input (mor path)

@@ -340,6 +340,190 @@ def ivf_cells_udf(centroids, nprobe: int):
     return F.pandas_udf(_cells, returnType=ArrayType(LongType()))
 
 
+def _vec_ok(vec_col: str, dim: int):
+    """Well-formed-embedding predicate: non-NULL, right dimensionality,
+    non-zero norm (a zero vector has no defined cosine direction)."""
+    return (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & (F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ) > 0)
+    )
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic coarse-quantizer seeds: the embeddings of the
+    ``n_cells`` lowest ids — reproducible by any engine (the DuckDB twin
+    recomputes them), and the k-means init for ``train_ivf_centroids``."""
+    return [
+        (r[0], r[1])
+        for r in corpus.filter(_vec_ok(vec_col, dim))
+        .select(F.col(id_col), as_double(vec_col))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    ]
+
+
+_IVF_SCALE = float(1 << 20)  # fixed-point quantum for deterministic means
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rate: float | None = None,
+) -> list:
+    """Seeded Lloyd's iterations producing DETERMINISTIC, engine-
+    reproducible centroids — the production replacement for the raw
+    id-ordered seeds.
+
+    Determinism is the hard part: a distributed float mean depends on
+    partial-sum order, so each component is quantized to fixed point
+    (``floor(x * 2^20)`` — exact: float32→double is lossless and scaling
+    by a power of two never rounds) and summed as INTEGERS, which are
+    associative.  The mean ``(sum / count) / 2^20`` is then the same IEEE
+    double in this engine, in DuckDB (the ``ann_ivf_trained`` oracle
+    recomputes both iterations in SQL), and under any partitioning.
+    Assignment ties break by centroid id asc, matching the SQL twin's
+    ``ORDER BY sim DESC, cid``.
+
+    100 TB shape: each iteration is one slim shuffle of
+    (cell, pos, int64) rows with map-side partial aggregation down to
+    ``n_cells × dim`` groups; the collect is metadata-scale (K·dim longs).
+    ``sample_rate`` trains on a deterministic ``hash_sample`` of the
+    corpus (the standard IVF practice — centroids need a sketch, not the
+    population; the sample is engine-stable so the oracle can reproduce
+    it)."""
+    from glad_tiles_pipeline_spark.operators.docs import hash_sample
+
+    base = corpus.filter(_vec_ok(vec_col, dim))
+    if sample_rate is not None:
+        base = hash_sample(base, sample_rate, id_col=id_col)
+    vecs = base.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    cents = seed_centroids(base, dim, n_cells, id_col, vec_col)
+    for _ in range(n_iters):
+        q = F.floor(F.col("x") * F.lit(_IVF_SCALE)).cast("long")
+        rows = (
+            vecs.withColumn(
+                "cell", ivf_cells_udf(cents, 1)(F.col("__v")).getItem(0)
+            )
+            .select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(q).alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        acc: dict[int, list] = {}
+        for r in rows:
+            acc.setdefault(int(r["cell"]), [0.0] * dim)[int(r["pos"])] = (
+                float(r["s"]) / int(r["cnt"]) / _IVF_SCALE
+            )
+        cents = [(cid, acc.get(cid, list(v))) for cid, v in cents]
+    return cents
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_path: str,
+    centroids: list,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus with its IVF cell as a PARTITION column
+    (``cell=<cid>/`` directories).  An ANN scan then prunes whole cells at
+    the file-listing level — Spark's Hive-style partition pruning is the
+    manifest-level pruning for this layout, so a probe of ``nprobe`` of
+    ``n_cells`` cells physically reads ~nprobe/n_cells of the corpus
+    (IO-gated by tests/test_similarity_recall.py)."""
+    (
+        corpus.filter(_vec_ok(vec_col, dim))
+        .withColumn(
+            "cell", ivf_cells_udf(centroids, 1)(as_double(vec_col)).getItem(0)
+        )
+        .write.partitionBy("cell")
+        .parquet(out_path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a persisted cell-partitioned index: the query
+    batch's probe cells are collected (|Q|·nprobe ids — metadata-scale)
+    and the scan is BUILT from only those ``cell=`` directories — the
+    same structural pruning move as the lake's manifest planner, so the
+    plan physically references ~nprobe/n_cells of the corpus (IO gate on
+    ``inputFiles()``); ranking is identical to ``ivf_topk`` (same
+    centroids ⇒ same output, asserted in tests)."""
+    from pyspark.sql import Window
+
+    q = queries.filter(_vec_ok(vec_col, dim)).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
+    )
+    probe = q.select(
+        "query_id",
+        "__qv",
+        F.explode(ivf_cells_udf(centroids, nprobe)(F.col("__qv"))).alias("cell"),
+    )
+    probe_cells = sorted(
+        r[0] for r in probe.select("cell").distinct().collect()
+    )
+    # a probed cell can be EMPTY (no corpus vector assigned) — intersect
+    # with the cells that physically exist; an object-store deployment
+    # takes this listing from its catalog/manifest instead
+    import os
+
+    existing = {
+        int(e.split("=")[1])
+        for e in os.listdir(index_path)
+        if e.startswith("cell=")
+    }
+    cell_dirs = [
+        f"{index_path}/cell={c}" for c in probe_cells if c in existing
+    ]
+    c = (
+        spark.read.option("basePath", index_path)
+        .parquet(*cell_dirs)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("__cv"),
+            "cell",
+        )
+    )
+    scored = (
+        c.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_udf()(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -349,6 +533,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat (inverted-file index): the corpus is
     partitioned into ``n_cells`` Voronoi cells around deterministic
@@ -375,24 +560,12 @@ def ivf_topk(
     # rectangular Arrow batches, a NULL can never be anyone's neighbor, and
     # a zero-norm vector has no defined cosine cell (cosine_udf yields NULL
     # for it downstream anyway)
-    ok = (
-        F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) == dim)
-        & (F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        ) > 0)
-    )
-    corpus = corpus.filter(ok)
-    queries = queries.filter(ok)
-    cents = [
-        (r[0], r[1])
-        for r in corpus.select(F.col(id_col), as_double(vec_col))
-        .orderBy(id_col)
-        .limit(n_cells)
-        .collect()
-    ]  # K rows — metadata-scale, like the LSH plane cache
+    corpus = corpus.filter(_vec_ok(vec_col, dim))
+    queries = queries.filter(_vec_ok(vec_col, dim))
+    # K rows — metadata-scale, like the LSH plane cache.  ``centroids``
+    # plugs trained (train_ivf_centroids) or externally persisted cells
+    # into the same plan; default stays the deterministic id-ordered seeds.
+    cents = centroids or seed_centroids(corpus, dim, n_cells, id_col, vec_col)
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__cv")
     )

@@ -277,7 +277,12 @@ class InMemoryManifestIO(ManifestIO):
 
     def exists(self, path: str) -> bool:
         if self._is_meta(path):
-            return path in self._meta or path in self._dirs
+            if path in self._meta or path in self._dirs:
+                return True
+            # object-store semantics: a "directory" exists iff some key has
+            # it as a prefix (writes never materialize parent dirs)
+            pre = path.rstrip(os.sep) + os.sep
+            return any(p.startswith(pre) for p in self._meta)
         return self._local.exists(path)
 
     def list_names(self, dirpath: str) -> list[str]:
@@ -806,9 +811,12 @@ class LakeTable:
     # -- scan (S7) ------------------------------------------------------------
 
     def unresolved_buckets(self, snapshot_id: int | None = None) -> set[int]:
-        """Buckets holding merge-on-read delta files not yet compacted."""
+        """Buckets holding merge-on-read state not yet compacted: LWW delta
+        files, tombstone memos, or delete-vector files (S26)."""
         return {
-            f["bucket"] for f in self.manifest(snapshot_id)["files"] if f.get("delta")
+            f["bucket"]
+            for f in self.manifest(snapshot_id)["files"]
+            if f.get("delta") or f.get("kind") in ("tomb", "dv")
         }
 
     def scan(
@@ -822,6 +830,7 @@ class LakeTable:
         repos: "list[str] | set[str] | None" = None,
         tag: str | None = None,
         key: tuple[str, str] | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id``, optionally pruned to a
         bucket subset.  Bucket pruning is the engine's custom partition-
@@ -885,13 +894,23 @@ class LakeTable:
                     f"snapshot {snapshot_id} is below the vacuum horizon "
                     f"{self.vacuum_horizon()}; its data files were expired"
                 )
+        if with_positions and not include_system:
+            raise ValueError("with_positions requires include_system=True")
         m = self.manifest(snapshot_id)
         cur_fields = m["schemas"][str(m["schema_version"])]
         cur_schema = T.StructType(
             [T.StructField(f["name"], _spark_type(f["type"])) for f in cur_fields]
             + (list(SYSTEM_FIELDS.fields) if include_system else [])
+            + ([T.StructField("__fp", T.StringType()),
+                T.StructField("__pos", T.LongType())] if with_positions else [])
         )
-        files = m["files"]
+        # S26 positional-delete entries: ``dv`` files are (path, pos) kill
+        # lists, never row data; ``tomb`` files are full-schema tombstone
+        # MEMOS (delete winners under mor_dv) that back write-time LWW
+        # arbitration and raw reads, but are invisible to resolved readers
+        # (their effect is realized by the kills + absence of the key)
+        dv_entries = [f for f in m["files"] if f.get("kind") == "dv"]
+        files = [f for f in m["files"] if f.get("kind") != "dv"]
         if buckets is not None:
             if m.get("migration") is not None:
                 # mid-migration, a numeric bucket id is ambiguous between
@@ -953,6 +972,14 @@ class LakeTable:
                 for f in files
                 if f["bucket"] == want_bucket.get(str(f.get("layout_gen", 1)))
             ]
+            # kills are bucket-local too: a dv row can only reference a
+            # data file of its own bucket, so the point read opens only
+            # the key's bucket's kill lists
+            dv_entries = [
+                f
+                for f in dv_entries
+                if f["bucket"] == want_bucket.get(str(f.get("layout_gen", 1)))
+            ]
             # path-half pruning for the point lookup: sound ONLY within
             # single-repo files (repo_lo == repo_hi — the layout clustered
             # compaction produces): there the file's path min/max bound the
@@ -973,6 +1000,25 @@ class LakeTable:
                 return k2[0] <= key[1] <= k2[1]
 
             files = [f for f in files if _path_may_match(f)]
+            # S27 bloom pruning: fresh delta/tomb files carry a per-file
+            # key bloom (written by _attach_blooms); a negative membership
+            # test is DEFINITE — the key has no row in the file — so
+            # dropping the file commutes with LWW resolution exactly like
+            # the repo-stats prune.  This is what makes lookup O(1) files
+            # on an UNCLUSTERED layout (gate: tests/test_bloom_lookup.py);
+            # files without a bloom (big/compacted) are kept and rely on
+            # clustered path stats instead.
+            from glad_tiles_pipeline_spark.functions.hashing import (
+                bloom_may_contain,
+                bloom_positions,
+            )
+
+            kpos = bloom_positions(key[0], key[1])
+            files = [
+                f
+                for f in files
+                if "bloom" not in f or bloom_may_contain(f["bloom"], kpos)
+            ]
         ranges: dict[str, tuple[int, int]] = {}
         if offset_range is not None:
             ranges["_offset"] = offset_range
@@ -987,9 +1033,45 @@ class LakeTable:
         any_delta = any(f.get("delta") for f in m["files"])
         if ranges and (include_system or not any_delta):
             files = [f for f in files if _stats_may_match(f, ranges)]
-        if not files:
+        # Resolved readers skip tombstone memos UNLESS mor deltas force an
+        # LWW pass anyway — then the memos must join the arg-max so a
+        # delta-appended late event cannot resurrect a dv-deleted key
+        # (mixed mor / mor_dv ingest stays exact).  Raw readers (merge,
+        # compact, audits) always see memos: raw ∪ memos + arg-max is the
+        # complete LWW state, with or without kills.
+        data_files = [f for f in files if f.get("kind") != "tomb"]
+        tomb_files = [f for f in files if f.get("kind") == "tomb"]
+        needs_resolve = any(f.get("delta") for f in data_files)
+        if include_system or needs_resolve:
+            read_files = data_files + tomb_files
+        else:
+            read_files = data_files
+        if buckets is not None:
+            dv_entries = [f for f in dv_entries if f["bucket"] in buckets]
+        apply_kills = bool(dv_entries) and not include_system
+        if not read_files:
             return spark.createDataFrame([], cur_schema)
-        out = self._project_files(spark, m, files)
+        out = self._project_files(
+            spark, m, read_files,
+            with_positions=with_positions or apply_kills,
+        )
+        if apply_kills:
+            # broadcast anti-join on (file, row): delete vectors are
+            # output-of-deletes-sized; the data side never shuffles.
+            # Killed rows are superseded by construction (a kill is only
+            # recorded when a newer winner beat the row), so applying
+            # kills before any remaining LWW pass cannot change winners.
+            kills = spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in dv_entries]
+            ).select(F.col("path").alias("__kp"), F.col("pos").alias("__kpos"))
+            out = out.join(
+                F.broadcast(kills),
+                (F.col("__fp") == F.col("__kp"))
+                & (F.col("__pos") == F.col("__kpos")),
+                "left_anti",
+            )
+            if not with_positions:
+                out = out.drop("__fp", "__pos")
         if repos is not None:
             # key predicate: commutes with LWW resolution, filter early
             key1_cur = next(f["name"] for f in cur_fields if f["id"] == 1)
@@ -1027,13 +1109,36 @@ class LakeTable:
             )
         return out
 
-    def _project_files(self, spark: SparkSession, m: dict, files: list[dict]) -> DataFrame:
+    def _rel_path_expr(self) -> F.Column:
+        """Root-relative data-file path of each row, from the parquet
+        reader's hidden ``_metadata`` column — the identity the
+        delete-vector files record (relative, so the table stays
+        relocatable like every other manifest path)."""
+        import re as _re
+
+        norm = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/")
+        return F.regexp_replace(
+            norm, "^" + _re.escape(self.root.rstrip("/")) + "/", ""
+        )
+
+    def _project_files(
+        self,
+        spark: SparkSession,
+        m: dict,
+        files: list[dict],
+        with_positions: bool = False,
+    ) -> DataFrame:
         """Union of ``files`` (non-empty, entries of manifest ``m``) projected
         onto ``m``'s current schema by FIELD ID — the schema-evolution
         contract: select by the writing version's name, cast to the current
         type, alias to the current name; fields added since → typed NULL.
         System columns pass through.  Shared by scan, incremental, and the
-        rebucket step."""
+        rebucket step.
+
+        ``with_positions`` appends ``__fp`` (root-relative file path) and
+        ``__pos`` (row index within the file) from the parquet reader's
+        ``_metadata`` column — the row identity positional deletes (S26)
+        are recorded and applied against."""
         cur_fields = m["schemas"][str(m["schema_version"])]
         by_version: dict[str, list[str]] = {}
         for f in files:
@@ -1056,6 +1161,11 @@ class LakeTable:
                         F.col(old["name"]).cast(_spark_type(f["type"])).alias(f["name"])
                     )
             proj += [F.col(sf.name) for sf in SYSTEM_FIELDS.fields]
+            if with_positions:
+                proj += [
+                    self._rel_path_expr().alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                ]
             parts.append(df.select(*proj))
         out = parts[0]
         for p in parts[1:]:
@@ -1306,7 +1416,13 @@ class LakeTable:
                 )
         base = {f["path"] for f in self.manifest(from_snapshot)["files"]}
         target = self.manifest(to_snapshot)
-        added = [f for f in target["files"] if f["path"] not in base]
+        # dv kill lists are metadata, not row changes; tombstone memos ARE
+        # the window's delete changes (same role as mor tombstone deltas)
+        added = [
+            f
+            for f in target["files"]
+            if f["path"] not in base and f.get("kind") != "dv"
+        ]
         cur_fields = target["schemas"][str(target["schema_version"])]
         key_names = [f["name"] for f in cur_fields if f["id"] in (1, 2)]
         out_schema = T.StructType(
@@ -1560,14 +1676,25 @@ class LakeTable:
     # -- schema evolution (§1.3) ----------------------------------------------
 
     def evolve(self, ops: list[dict], batch_id: str) -> int:
-        """Apply schema ops (add_column / rename_column / widen_type) as a
+        """Apply schema ops (add / rename / widen / drop column) as a
         metadata-only snapshot.  Field ids are stable; data files untouched.
 
         Ops (matching the change-stream control payloads, FIXTURES.md §2.1):
           {"op": "add_column",    "name": str, "type": str}
           {"op": "rename_column", "from": str, "to": str}
           {"op": "widen_type",    "name": str, "type": str}
-        """
+          {"op": "drop_column",   "name": str}
+
+        ``drop_column`` removes the field from the CURRENT schema only: old
+        files keep the bytes, readers of the new version project the field
+        away (the field-id mapping in ``_project_files`` selects only
+        current fields), and old snapshots keep serving it — time travel is
+        unaffected.  A later ``add_column`` under the same NAME gets a
+        FRESH field id (ids are allocated above the max across ALL schema
+        versions, never just the current one), so the re-added column reads
+        as NULL from pre-drop files instead of resurrecting the dropped
+        column's bytes — Iceberg's last-column-id rule.  Key fields
+        (ids 1/2 — the upsert identity) cannot be dropped."""
         already = self.batch_committed(batch_id)
         if already is not None:
             return already
@@ -1575,7 +1702,10 @@ class LakeTable:
         parent = self.manifest(parent_id)
         fields = [dict(f) for f in parent["schemas"][str(parent["schema_version"])]]
         by_name = {f["name"]: f for f in fields}
-        max_id = max((f["id"] for f in fields), default=0)
+        max_id = max(
+            (f["id"] for ver in parent["schemas"].values() for f in ver),
+            default=0,
+        )
         for op in ops:
             kind = op["op"]
             if kind == "add_column":
@@ -1590,6 +1720,17 @@ class LakeTable:
                 f = by_name.pop(op["from"])
                 f["name"] = op["to"]
                 by_name[op["to"]] = f
+            elif kind == "drop_column":
+                f = by_name.get(op["name"])
+                if f is None:
+                    raise ValueError(f"no such column: {op['name']}")
+                if f["id"] in (1, 2):
+                    raise ValueError(
+                        f"cannot drop key column {op['name']!r} (field id "
+                        f"{f['id']} is the upsert identity)"
+                    )
+                del by_name[op["name"]]
+                fields = [x for x in fields if x["id"] != f["id"]]
             elif kind == "widen_type":
                 f = by_name[op["name"]]
                 if (f["type"], op["type"]) not in ALLOWED_WIDEN:

@@ -1046,6 +1046,24 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, nprobe=4)
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF-Flat with TRAINED centroids: 2 deterministic Lloyd's iterations
+    (fixed-point integer sums make the distributed mean engine- and
+    partitioning-independent) from the id-ordered seeds, then the same
+    partition-pruned search.  The oracle recomputes the entire training
+    loop in SQL (_IVF_TRAINED_SQL), so assignment, probe, and ranking are
+    checked against the trained geometry — the k-means seam the untrained
+    ``ann_ivf_topk`` docstring promised, closed."""
+    from glad_tiles_pipeline_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, dim=64, n_cells=16, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, dim=64, k=5, n_cells=16, nprobe=4, centroids=cents
+    )
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1233,6 +1251,72 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS.format(a='q.v', b='c.v')} AS sim0
   FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, round(sim0, 6) AS sim, CAST(rnk AS INT) AS "rank"
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+def _lloyd_iter_sql(prev: str, nxt: str) -> str:
+    """One deterministic Lloyd's iteration as SQL CTEs: assign by cosine
+    (ties by cid asc, matching the numpy lexsort), then per-(cell, dim)
+    FIXED-POINT integer sums (floor(x·2^20) — exact: float32→double is
+    lossless and power-of-two scaling never rounds), mean = (s/cnt)/2^20
+    in double.  Integer sums are associative, so the centroid doubles are
+    bit-identical to train_ivf_centroids regardless of engine or
+    partitioning (operators/similarity.py)."""
+    return f"""
+a_{nxt} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid) AS rn
+    FROM e, {prev} c) WHERE rn = 1),
+s_{nxt} AS (
+  SELECT a.cid, r.i,
+         sum(CAST(floor(e.v[CAST(r.i AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+         count(*) AS cnt
+  FROM a_{nxt} a JOIN e USING (vec_id), range(0, 64) r(i)
+  GROUP BY a.cid, r.i),
+{nxt} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt / 1048576.0 ORDER BY i) AS cv
+  FROM s_{nxt} GROUP BY cid
+  UNION ALL
+  SELECT cid, cv FROM {prev}
+  WHERE cid NOT IN (SELECT cid FROM s_{nxt}))"""
+
+
+# Trained-IVF twin: DuckDB recomputes the seeds, BOTH Lloyd's iterations,
+# the final assignment, probe, and exact-cosine ranking — the oracle covers
+# the training loop itself, not just the search.
+_IVF_TRAINED_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64
+             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+{_lloyd_iter_sql('cent0', 'cent1')},
+{_lloyd_iter_sql('cent1', 'cent2')},
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid) AS rn
+    FROM e, cent2 c) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid) AS rn
+    FROM e, cent2 c WHERE e.vec_id < 10) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v')} AS sim0
+  FROM probe p JOIN assign a USING (cid)
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e c ON c.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id)
 SELECT query_id, neighbor_id, round(sim0, 6) AS sim, CAST(rnk AS INT) AS "rank"
 FROM (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rnk
@@ -1621,6 +1705,7 @@ _ALL_ORACLES: dict[str, str] = {
     # tests/test_similarity_recall.py), so the brute-force twin is its oracle
     "ann_lsh_topk": _ANN_SQL,
     "ann_ivf_topk": _IVF_SQL,
+    "ann_ivf_trained": _IVF_TRAINED_SQL,
     "decontaminate_ngram": _DECON_SQL,
     "sample_stratified_quota": _STRAT_SAMPLE_SQL,
     "sample_hash_bernoulli": _HASH_SAMPLE_SQL,
@@ -1730,6 +1815,7 @@ EXTRA_QUERIES = {
     "text_pack_greedy": q_text_pack,
     "text_pack_global": q_text_pack_global,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "decontaminate_ngram": q_decontaminate,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash_incremental": q_dedup_simhash_incremental,

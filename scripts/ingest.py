@@ -54,7 +54,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "--changelog before ingesting")
     p.add_argument("--dedup-strategy", default="argmax",
                    choices=["argmax", "window", "semijoin"])
-    p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--merge-mode", default="cow",
+                   choices=["cow", "mor", "mor_dv"],
+                   help="cow: bucket rewrite per batch (read-optimal); "
+                        "mor: LWW delta appends (write-optimal, readers "
+                        "resolve); mor_dv: positional-delete appends "
+                        "(write-time arbitration, resolution-free reads)")
     p.add_argument("--compact-every", type=int, default=None,
                    help="compact merge-on-read deltas every K batches")
     p.add_argument("--vacuum-keep", type=int, default=None,

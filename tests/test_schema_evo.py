@@ -165,3 +165,93 @@ def test_controls_embedded_in_stream_e2e(spark, tmp_path):
     # time travel: snapshot before the rename still reads as "lang"
     early = table.scan(spark, snapshot_id=2)
     assert "lang" in early.columns and "language" not in early.columns
+
+
+def test_drop_column_old_snapshots_readable_both_ways(spark, tmp_path):
+    """drop_column (VERDICT r4 "Next #7"): the field leaves the CURRENT
+    schema only — old files keep the bytes, new readers project the column
+    away, old snapshots still serve it; re-adding the same NAME allocates a
+    FRESH field id, so pre-drop bytes stay dead (no resurrection)."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=16)
+    ev = change_log(spark, 1200)
+    apply_batch(spark, table, ev.filter(F.col("offset") < 1190), "b0")
+    pre_drop_sid = table.current_snapshot_id()
+    assert table.scan(spark).filter(F.col("lang").isNotNull()).count() > 0
+
+    # tiny second batch: most buckets untouched, their b0 files carry over
+    batch2 = ev.filter(F.col("offset") >= 1190).unionByName(
+        _control(spark, 10_000, {"op": "drop_column", "name": "lang"})
+    )
+    apply_batch(spark, table, batch2, "b1")
+
+    cur = table.scan(spark)
+    assert "lang" not in cur.columns
+    assert cur.count() > 0
+    # time travel: the pre-drop snapshot still reads the column, populated
+    old = table.scan(spark, snapshot_id=pre_drop_sid)
+    assert "lang" in old.columns
+    assert old.filter(F.col("lang").isNotNull()).count() > 0
+    # the drop itself rewrote nothing: some pre-drop files (the buckets the
+    # tiny batch2 didn't touch) are still live in the current manifest
+    b0_files = {f["path"] for f in table.manifest(pre_drop_sid)["files"]}
+    assert b0_files & {f["path"] for f in table.manifest()["files"]}
+
+    # re-add under the same name -> fresh field id -> NULL everywhere,
+    # including keys whose only version predates the drop
+    table.evolve([{"op": "add_column", "name": "lang", "type": "string"}],
+                 batch_id="evo-readd")
+    readded = table.scan(spark)
+    assert "lang" in readded.columns
+    assert readded.filter(F.col("lang").isNotNull()).count() == 0
+    ids = {
+        f["name"]: f["id"]
+        for f in table.manifest()["schemas"][
+            str(table.manifest()["schema_version"])
+        ]
+    }
+    old_ids = {
+        f["name"]: f["id"]
+        for f in table.manifest(pre_drop_sid)["schemas"][
+            str(table.manifest(pre_drop_sid)["schema_version"])
+        ]
+    }
+    assert ids["lang"] > max(old_ids.values())  # fresh id, never reused
+
+
+def test_drop_column_key_fields_refused(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=2)
+    apply_batch(spark, table, change_log(spark, 100), "b0")
+    with pytest.raises(ValueError, match="upsert identity"):
+        table.evolve([{"op": "drop_column", "name": "path"}], batch_id="x")
+    with pytest.raises(ValueError, match="no such column"):
+        table.evolve([{"op": "drop_column", "name": "nope"}], batch_id="y")
+
+
+def test_drop_column_in_stream_then_ingest_continues(spark, tmp_path):
+    """The control rides the changelog; post-drop batches write WITHOUT the
+    column and the final base state (minus the dropped field) still equals
+    the replay oracle."""
+    import json as _json
+
+    from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+    from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+    from glad_tiles_pipeline_spark.sources.generator import inject_controls
+
+    log = inject_controls(
+        change_log(spark, 4000),
+        {2100: _json.dumps({"op": "drop_column", "name": "lang"})},
+    )
+    d = str(tmp_path / "log")
+    log.write.parquet(d)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, table, d, batch_size=1000, merge_mode="mor")
+    assert "lang" not in table.scan(spark).columns
+
+    events = spark.read.parquet(d).filter(F.col("control").isNull())
+    got = table.scan(spark).select(
+        "repo", "path", "commit", "content", "content_sha"
+    )
+    want = oracle_state_df(spark, events).select(
+        "repo", "path", "commit", "content", "content_sha"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -141,6 +141,70 @@ def test_ann_ivf_recall_at_5(emb):
     assert recall >= 0.85, f"ann_ivf recall@5 {recall} < 0.85"
 
 
+def test_trained_ivf_centroids_deterministic_and_recall(emb):
+    """Trained centroids (seeded Lloyd's, fixed-point sums) must be
+    bit-identical under any partitioning — the property that licenses the
+    _IVF_TRAINED_SQL algorithm twin — and keep recall@5 at the floor the
+    untrained seeds delivered."""
+    from glad_tiles_pipeline_spark.operators.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, dim=64, n_cells=16, n_iters=2)
+    c2 = train_ivf_centroids(emb.repartition(13), dim=64, n_cells=16, n_iters=2)
+    assert c1 == c2  # exact double equality, not approx
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, dim=64, k=5, nprobe=4, centroids=c1
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"trained ivf recall@5 {recall} < 0.85"
+
+
+def test_ivf_index_prunes_cells_and_matches_direct(spark, emb, tmp_path_factory):
+    """Persisted cell column (S22-style layout for ANN): the indexed scan
+    reads ONLY the probed cell= directories — strictly fewer files than
+    the index holds — and returns exactly what the unindexed operator
+    returns with the same centroids."""
+    import re
+
+    from glad_tiles_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, dim=64, n_cells=16, n_iters=2)
+    path = str(tmp_path_factory.mktemp("ivfidx") / "ivf")
+    build_ivf_index(emb, path, cents, dim=64)
+    queries = emb.filter(F.col("vec_id") < 2)  # small probe set: 2q × 2 cells
+    out = ivf_topk_indexed(spark, path, queries, cents, dim=64, k=5, nprobe=2)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, queries, dim=64, k=5, nprobe=2, centroids=cents
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+    read = {
+        re.search(r"cell=(\d+)", f).group(1)
+        for f in out.inputFiles()
+        if "cell=" in f
+    }
+    total = {
+        re.search(r"cell=(\d+)", f).group(1)
+        for f in spark.read.parquet(path).inputFiles()
+        if "cell=" in f
+    }
+    assert 0 < len(read) <= 4 < len(total)  # IO gate: probed cells only
+
+
 def test_ann_ivf_tolerates_malformed_vectors(spark, emb):
     """A NULL or wrong-dimension embedding must be filtered, not crash the
     assignment UDF's rectangular numpy batch."""
