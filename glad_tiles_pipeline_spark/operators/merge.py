@@ -747,7 +747,10 @@ def plan_compaction(
     bucket."""
     counts: dict[int, int] = {}
     for f in table.manifest(None)["files"]:
-        if f.get("delta"):
+        # read-amplification signal: LWW delta files (mor) AND the S26
+        # sidecars (mor_dv tomb memos / dv kill lists — each uncompacted
+        # batch adds a broadcast-side kill file to every resolved scan)
+        if f.get("delta") or f.get("kind") in ("tomb", "dv"):
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
     worst = sorted(
         (b for b, n in counts.items() if n > max_delta_files),

@@ -145,7 +145,20 @@ def rebucket_step(
                 "snapshot_id": already}
 
     m = table.manifest(expected_parent)
-    old_files = [f for f in m["files"] if int(f.get("layout_gen", 1)) == from_gen]
+    # S26 sidecars: dv kill lists are (path, pos) metadata, not rows — the
+    # rewrite must NOT project them.  Skipping their content is exact: a
+    # kill only exists where a newer winner of the same key does, that
+    # winner lives in the same old bucket (same key -> same bucket), so the
+    # LWW arg-max below supersedes every killed row anyway.  The entries
+    # themselves retire with their bucket via the generation-qualified
+    # replaced_buckets (kills and the files they reference drop atomically).
+    # Tomb memos DO ride along: they are full-schema delete winners the
+    # compacted generation must remember.
+    old_files = [
+        f
+        for f in m["files"]
+        if int(f.get("layout_gen", 1)) == from_gen and f.get("kind") != "dv"
+    ]
     remaining = sorted({f["bucket"] for f in old_files})
     if not remaining:
         # nothing left to move — clear the migration in a metadata commit
