@@ -78,7 +78,7 @@ def worker(args: argparse.Namespace) -> None:
         batch_size=max(n_events // 4, 1),
         merge_mode=args.mode,
     )
-    if args.mode == "mor":
+    if args.mode in ("mor", "mor_dv"):
         compact(spark, table)
     sec = time.monotonic() - t0
     print(json.dumps({"cores": cores, "sec": round(sec, 3),
@@ -104,7 +104,7 @@ def main() -> None:
     p.add_argument("--events", type=int, default=8_000_000)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--levels", default="8,32")
-    p.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    p.add_argument("--mode", default="mor", choices=["cow", "mor", "mor_dv"])
     p.add_argument("--content-repeat", type=int, default=16,
                    help="~64B body lines per synthetic file (16 ≈ 1 KB)")
     p.add_argument("--workdir", default="/dev/shm/scale_bench",
