@@ -183,3 +183,30 @@ def test_schema_evolution_through_mor_dv(spark, env, tmp_path):
     ev = spark.read.parquet(log).filter(F.col("control").isNull())
     want = oracle_state_df(spark, ev)
     assert _state_equal(got, want)
+
+
+def test_stream_ingest_mor_dv_matches_oracle(spark, tmp_path):
+    """The foreachBatch bridge composes with S26 unchanged (merge kwargs
+    pass through): a multi-micro-batch stream under merge_mode='mor_dv'
+    lands resolution-free state equal to the replay oracle, and the kills
+    accumulate across micro-batches."""
+    from glad_tiles_pipeline_spark.streaming.bridge import stream_ingest
+
+    log = str(tmp_path / "log")
+    change_log(spark, 4000, late_denom=4, late_max_lag=1500).repartition(
+        6
+    ).write.parquet(log)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    results = stream_ingest(
+        spark, table, log, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, merge_mode="mor_dv",
+    )
+    assert len(results) >= 2
+    kinds = {f.get("kind") for f in table.manifest(None)["files"]}
+    assert "dv" in kinds and "tomb" in kinds
+    assert sum(
+        r.get("metrics", {}).get("position_kills", 0) for r in results
+    ) > 0  # later micro-batches killed earlier live rows
+    got = table.scan(spark)
+    want = oracle_state_df(spark, spark.read.parquet(log))
+    assert _state_equal(got, want)
