@@ -553,6 +553,21 @@ def apply_batch(
         #    ordering + positions, ~60 B/row — never content) — the price
         #    Iceberg v2 pays to locate positions, traded for
         #    resolution-free reads between compactions.
+        #
+        #    Plan shape (the round-5 rewrite): the arbitration join runs on
+        #    a SLIM projection of the batch winners — key + LWW ordering +
+        #    bucket, never content — so the only full-width shuffle in the
+        #    whole batch remains the planned __pid repartition above.  The
+        #    verdict (which batch rows lost to a strictly-newer live row)
+        #    comes back as a LOSER key set, applied to the cached winners
+        #    via a broadcast anti-join: losers are late arrivals that lost,
+        #    bounded by the BATCH key count (never the table), and zero on
+        #    an in-order stream — where the anti-join is skipped outright.
+        #    The earlier spelling joined the full-width winners against the
+        #    live argmax directly, which reshuffled content a second time
+        #    per batch and re-derived the dedup for every downstream action;
+        #    measured 6× slower than mor at 2M events/4 batches.
+        new_data = new_data.persist()
         affected_dv = {
             r["__bucket"]
             for r in new_data.select("__bucket").distinct().collect()
@@ -569,33 +584,53 @@ def apply_batch(
         e_max = lww_dedup_argmax(
             existing, key=[_key1, _key2], order=["__e_cs", "__e_off"]
         )
-        j = new_data.join(e_max, key_names, "left")
-        won = j.filter(
-            F.col("__e_cs").isNull()
-            | (
-                F.struct(F.col("_commit_seq"), F.col("_offset"))
-                > F.struct(
-                    F.col("__e_cs").alias("_commit_seq"),
-                    F.col("__e_off").alias("_offset"),
-                )
+        slim_new = new_data.select(
+            *key_names, "_commit_seq", "_offset", "__bucket"
+        )
+        decide = slim_new.join(e_max, key_names, "left").persist()
+        _won_cond = F.col("__e_cs").isNull() | (
+            F.struct(F.col("_commit_seq"), F.col("_offset"))
+            > F.struct(
+                F.col("__e_cs").alias("_commit_seq"),
+                F.col("__e_off").alias("_offset"),
             )
-        ).persist()
-        kills = won.filter(F.col("__fp").isNotNull()).select(
+        )
+        kills = decide.filter(
+            _won_cond & F.col("__fp").isNotNull()
+        ).select(
             F.col("__fp").alias("path"), F.col("__pos").alias("pos"),
             F.col("__bucket"),
         )
-        out_rows = won.drop("__e_cs", "__e_off", "__fp", "__pos")
         data_abs, data_rel = table.new_data_dir()
         tomb_abs, tomb_rel = table.new_data_dir()
         dv_abs, dv_rel = table.new_data_dir()
+        # kills and tombstone memos are tiny relative to the batch (kills
+        # are slim (path,pos) pairs; memos are the delete fraction), but a
+        # naive partitionBy write fans them out to tasks×buckets files —
+        # 30-row parquet files whose footers dominate every later write-time
+        # arbitration scan.  One cheap shuffle each (bounded by the kill /
+        # delete count, never the batch) packs them to one file per bucket
+        # per batch, which keeps the live-state read O(useful bytes).
+        kills.repartition("__bucket").write.partitionBy("__bucket").parquet(
+            dv_abs, mode="append"
+        )
+        losers = decide.filter(~_won_cond).select(*key_names)
+        n_lost = losers.count()  # cheap: decide is cached and slim
+        if n_lost == 0:
+            # in-order stream (or first batch): every batch winner won
+            out_rows = new_data
+        else:
+            out_rows = new_data.join(
+                F.broadcast(losers), key_names, "left_anti"
+            )
         out_rows.filter(~F.col("_deleted")).write.partitionBy(
             "__bucket"
         ).parquet(data_abs, mode="append")
-        out_rows.filter(F.col("_deleted")).write.partitionBy(
+        out_rows.filter(F.col("_deleted")).repartition(
             "__bucket"
-        ).parquet(tomb_abs, mode="append")
-        kills.write.partitionBy("__bucket").parquet(dv_abs, mode="append")
-        won.unpersist()
+        ).write.partitionBy("__bucket").parquet(tomb_abs, mode="append")
+        decide.unpersist()
+        new_data.unpersist()
         new_files, lineage = _collect_bucket_entries(
             data_abs, data_rel, schema_version=schema_version,
             write_gen=write_gen, str_cols=(_key1, _key2),
