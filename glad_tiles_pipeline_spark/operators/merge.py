@@ -182,7 +182,15 @@ def _collect_bucket_entries(
     """Walk one commit directory's ``__bucket=`` partitions into manifest
     file entries + per-bucket lineage.  ``kind`` tags S26 sidecars
     (``tomb`` memos / ``dv`` kill lists); ``with_stats=False`` skips the
-    footer stats read for files whose columns aren't table columns."""
+    footer stats read for files whose columns aren't table columns.
+
+    This walks the DATA path with ``os.listdir`` on purpose: the
+    ManifestIO seam covers table METADATA only (manifests, markers, refs
+    — the pieces whose atomicity semantics differ per store).  Data
+    files are written by Spark's own committer to whatever filesystem
+    the table root names; an object-store data path would swap this
+    local walk for a listing of the committer's output manifest, not
+    route bulk file IO through ManifestIO."""
     entries: list[dict] = []
     lineage: dict[str, dict] = {}
     for entry in sorted(os.listdir(root_abs)):

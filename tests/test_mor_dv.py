@@ -210,3 +210,39 @@ def test_stream_ingest_mor_dv_matches_oracle(spark, tmp_path):
     got = table.scan(spark)
     want = oracle_state_df(spark, spark.read.parquet(log))
     assert _state_equal(got, want)
+
+
+def test_sidecar_files_pack_to_one_per_bucket_per_batch(spark, env):
+    """Round-5 write-path shape gates: (a) tomb/dv sidecars are packed by
+    one bounded shuffle each to at most one file per bucket per commit —
+    a naive partitionBy write fans them into tasks x buckets ~30-row
+    files whose footers dominate every later write-time arbitration
+    scan; (b) data files stay on the planned __pid partitioning (the one
+    full-width shuffle), so their count per commit is bounded by the pid
+    space, never tasks x buckets."""
+    table = env["table"]
+    n_buckets = table.manifest(None)["n_buckets"]
+    per_commit: dict[tuple[int, str, int], int] = {}
+    seen = set()
+    for sid in range(1, table.current_snapshot_id() + 1):
+        m = table.manifest(sid)
+        for f in m["files"]:
+            if f["path"] in seen:
+                continue
+            seen.add(f["path"])
+            kind = f.get("kind") or "data"
+            k = (sid, kind, f["bucket"])
+            per_commit[k] = per_commit.get(k, 0) + 1
+    assert any(kind == "dv" for _, kind, _ in per_commit), "no dv files seen"
+    for (sid, kind, bucket), n in per_commit.items():
+        if kind in ("dv", "tomb"):
+            assert n <= 1, (
+                f"snapshot {sid}: {n} {kind} files in bucket {bucket} "
+                f"(expected <=1 per bucket per commit)"
+            )
+    data_per_sid: dict[int, int] = {}
+    for (sid, kind, _), n in per_commit.items():
+        if kind == "data":
+            data_per_sid[sid] = data_per_sid.get(sid, 0) + n
+    for sid, n in data_per_sid.items():
+        assert n <= 8 * n_buckets, f"snapshot {sid}: {n} data files"
