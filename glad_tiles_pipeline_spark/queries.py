@@ -1006,6 +1006,57 @@ def q_dedup_simhash_incremental(spark, sf_dir):
     return incremental_simhash_neardup(batch, sigs)
 
 
+_EMB_INDEX_CACHE: dict[str, object] = {}
+
+
+def _emb_index_for(spark, sf_dir):
+    """Embedding-bucket index over corpus ∖ batch (vec_id % 7 != 3), built
+    once per sf_dir through the real MERGE path and compacted — the
+    persisted state the incremental embedding dedup probes.  Cached like
+    ``_sig_index_for``."""
+    idx = _EMB_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        from glad_tiles_pipeline_spark.operators.incremental import (
+            create_embedding_index,
+            update_embedding_index,
+        )
+        from glad_tiles_pipeline_spark.operators.merge import compact
+
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 7 != 3)
+        root = tempfile.mkdtemp(prefix="emb_index_")
+        idx = create_embedding_index(root + "/index", n_buckets=8)
+        update_embedding_index(spark, idx, base, "emb-base", 0)
+        compact(spark, idx, batch_id="emb-compact")
+        _EMB_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup against the persisted bucket index
+    (operators/incremental.py): vectors with vec_id % 7 == 3 play the
+    incoming batch; the index side probes a broadcast of the banded batch
+    with pure expressions over its stored bucket columns — no Python and
+    no vector reads on the corpus-sized side; exact-cosine verify touches
+    corpus vectors only for candidate ids.  Oracle: the exact all-pairs
+    cosine twin restricted to pairs touching the batch — valid because the
+    candidate set equals the full recompute's batch-touching candidates by
+    construction (stored buckets ARE the shared kernel's output) and
+    measured recall at this operating point is 1.0
+    (tests/test_similarity_recall.py)."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_embedding_neardup,
+        index_embedding_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 7 == 3)
+    bk = index_embedding_buckets(spark, _emb_index_for(spark, sf_dir))
+    return incremental_embedding_neardup(emb, batch, bk, threshold=0.45)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Banded-LSH candidates + exact-cosine verify; threshold 0.45 sits just
     inside the fixtures' similarity range (14 pairs at sf0.01) so the oracle
@@ -1699,6 +1750,9 @@ _ALL_ORACLES: dict[str, str] = {
         f"SELECT * FROM ({_SIMHASH_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
     ),
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
+    "dedup_embedding_incremental": (
+        f"SELECT * FROM ({_EMB_NEARDUP_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
+    ),
     "ann_bruteforce_topk": _ANN_SQL,
     # ann_lsh_topk ranks LSH candidates by EXACT cosine; recall@k is 1.0 at
     # the driver operating point (equality-asserted in
@@ -1819,6 +1873,7 @@ EXTRA_QUERIES = {
     "decontaminate_ngram": q_decontaminate,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
+    "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "sample_stratified_quota": q_sample_stratified,
     "sample_hash_bernoulli": q_sample_hash,
 }

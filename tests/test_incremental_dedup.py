@@ -164,6 +164,163 @@ def test_reingested_doc_pairs_by_fresh_signature(spark, env):
         assert a in ids or b in ids
 
 
+@pytest.fixture(scope="module")
+def emb_env(spark, tmp_path_factory):
+    """Embedding modality: same production shape — index over corpus ∖
+    batch through the MERGE path, compacted to a resolution-free layout."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        create_embedding_index,
+        index_embedding_buckets,
+        update_embedding_index,
+    )
+
+    base_dir = tmp_path_factory.mktemp("incembdedup")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.filter(F.col("vec_id") % 7 == 3).write.parquet(str(base_dir / "batch"))
+    emb.filter(F.col("vec_id") % 7 != 3).write.parquet(str(base_dir / "base"))
+    batch = spark.read.parquet(str(base_dir / "batch"))
+    base = spark.read.parquet(str(base_dir / "base"))
+    index = create_embedding_index(str(base_dir / "embidx"), n_buckets=4)
+    update_embedding_index(
+        spark, index, base.filter(F.col("vec_id") % 2 == 0), "emb-b0", 0
+    )
+    update_embedding_index(
+        spark, index, base.filter(F.col("vec_id") % 2 == 1), "emb-b1", 1
+    )
+    compact(spark, index, batch_id="emb-compact")
+    buckets = index_embedding_buckets(spark, index)
+    batch_ids = {r[0] for r in batch.select("vec_id").collect()}
+    return {
+        "emb": emb, "batch": batch, "base": base,
+        "index": index, "buckets": buckets, "batch_ids": batch_ids,
+    }
+
+
+def test_embedding_incremental_equals_full_recompute(spark, emb_env):
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_embedding_neardup,
+    )
+    from glad_tiles_pipeline_spark.operators.similarity import embedding_neardup
+
+    inc = incremental_embedding_neardup(
+        emb_env["emb"], emb_env["batch"], emb_env["buckets"], threshold=0.45
+    )
+    full = embedding_neardup(emb_env["emb"], threshold=0.45, dim=64, n_bands=16)
+    got = sorted(tuple(r) for r in inc.collect())
+    want = _touching(
+        [tuple(r) for r in full.collect()], emb_env["batch_ids"]
+    )
+    assert got == want and len(got) > 0
+
+
+def test_embedding_candidates_read_zero_corpus_vector_files(spark, emb_env):
+    """The candidate stage touches only the batch parquet and the index's
+    integer-column files — the corpus-sized side contributes stored
+    buckets, never vectors (vectors enter later, candidate-restricted)."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_embedding_candidates,
+    )
+
+    cands = incremental_embedding_candidates(emb_env["batch"], emb_env["buckets"])
+    corpus_files = set(emb_env["base"].inputFiles()) | set(
+        emb_env["emb"].inputFiles()
+    )
+    assert not (set(cands.inputFiles()) & corpus_files)
+
+
+def test_embedding_index_files_carry_no_vector_column(spark, emb_env):
+    import pyarrow.parquet as pq
+
+    for f in emb_env["buckets"].inputFiles():
+        names = set(pq.ParquetFile(f.removeprefix("file:")).schema_arrow.names)
+        assert "embedding" not in names
+        assert {"corpus", "vec_id", "b0", "b15"} <= names
+
+
+def test_embedding_index_side_never_shuffles_before_probe(spark, emb_env):
+    """Plan gate (mirror of the simhash gate): on the compacted index the
+    corpus-sized side stays map-side — the stored-bucket posexplode probes
+    a BROADCAST of the banded batch, and the only row shuffle in the
+    candidate plan is the output-sized pair distinct."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_embedding_candidates,
+    )
+
+    cands = incremental_embedding_candidates(emb_env["batch"], emb_env["buckets"])
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, plan
+    assert "id_a" in shuffles[0] and "id_b" in shuffles[0]
+    # the banding kernel runs on the batch side only: two Arrow-UDF nodes
+    # (broadcast probe side + batch-internal union leg), both O(batch) —
+    # and every Python node scans BATCH files, never the index/corpus
+    assert plan.count("ArrowEvalPython") == 2, plan
+    batch_dirs = {
+        "/" + f.removeprefix("file:").lstrip("/").rsplit("/", 1)[0]
+        for f in emb_env["batch"].inputFiles()
+    }
+    for chunk in plan.split("ArrowEvalPython")[1:]:
+        scan = next(
+            ln for ln in chunk.splitlines() if "FileScan parquet" in ln
+        )
+        assert any(d in scan for d in batch_dirs), scan
+
+
+def test_embedding_update_is_idempotent_and_o_batch(spark, emb_env):
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        embedding_bucket_events,
+        update_embedding_index,
+    )
+
+    r = update_embedding_index(
+        spark, emb_env["index"], emb_env["base"].limit(20), "emb-b0", 0
+    )
+    assert r.get("skipped") is True
+    ev = embedding_bucket_events(emb_env["batch"], commit_seq=2)
+    assert set(ev.inputFiles()) <= set(emb_env["batch"].inputFiles())
+
+
+def test_reembedded_vector_pairs_by_fresh_buckets(spark, emb_env):
+    """A vector present in both index and batch (re-embed) must not pair
+    with itself; its stale index-side buckets are anti-joined out."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        incremental_embedding_neardup,
+    )
+
+    reingest = emb_env["base"].limit(15)
+    inc = incremental_embedding_neardup(
+        emb_env["emb"], reingest, emb_env["buckets"], threshold=0.45
+    )
+    ids = {r[0] for r in reingest.select("vec_id").collect()}
+    for a, b, _ in inc.collect():
+        assert a != b
+        assert a in ids or b in ids
+
+
+def test_embedding_deletes_leave_the_index(spark, emb_env, tmp_path):
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        create_embedding_index,
+        index_embedding_buckets,
+        update_embedding_index,
+    )
+
+    index = create_embedding_index(str(tmp_path / "embidx2"), n_buckets=2)
+    update_embedding_index(spark, index, emb_env["base"], "ed0", 0)
+    victim = emb_env["base"].select("vec_id").limit(5)
+    update_embedding_index(
+        spark, index, emb_env["base"].limit(0), "ed1", 1, deletes=victim
+    )
+    bk = index_embedding_buckets(spark, index)
+    gone = {r[0] for r in victim.collect()}
+    left = {r[0] for r in bk.select("vec_id").collect()}
+    assert not (gone & left)
+    assert len(left) > 0
+
+
 def test_deletes_leave_the_index(spark, env, tmp_path):
     """Tombstone events remove a doc's signature under LWW like any CDC
     delete — it stops pairing afterwards."""
