@@ -39,6 +39,7 @@ def ingest_changelog(
     batch_size: int = 100_000,
     max_batches: int | None = None,
     compact_every: int | None = None,
+    post_apply=None,
     **apply_kwargs,
 ) -> list[dict]:
     """Tail the changelog to the end (or ``max_batches``), one fenced MERGE
@@ -48,6 +49,16 @@ def ingest_changelog(
     deltas after every k batches — the write-amplification knob: ingest
     stays O(batch) per commit, readers pay resolution only between
     compactions.
+
+    ``post_apply(events, batch_id, offsets)`` mirrors the T6 bridge hook
+    (streaming/bridge.py): a derived sink riding the same batch window
+    (e.g. the dedup signature index).  NOTE the batch loop advances by the
+    MAIN table's offset high-water, so a crash between the main MERGE and
+    the hook is NOT replayed here (unlike the stream, whose checkpoint
+    re-feeds the micro-batch) — pair it with
+    ``streaming.dedup_index.catch_up_signature_index`` at the top of each
+    run, which closes exactly that gap from the derived table's own
+    offset high-water.
     """
     results = []
     hi_available = max_offset(spark, changelog_dir)
@@ -72,6 +83,10 @@ def ingest_changelog(
             # against the new table state (the loop re-reads the committed
             # offset); our unpublished data files are orphans for vacuum
             continue
+        if post_apply is not None:
+            res["post"] = post_apply(
+                events, batch_id_for(lo, hi), {"lo": lo, "hi": hi}
+            )
         results.append(res)
         n += 1
         if compact_every is not None and n % compact_every == 0:

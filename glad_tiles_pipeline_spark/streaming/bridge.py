@@ -73,6 +73,7 @@ def stream_ingest(
     quarantine_dir: str | None = None,
     late_threshold: str | None = None,
     await_termination: bool = True,
+    post_apply=None,
     **apply_kwargs,
 ) -> list[dict]:
     """Drain the changelog into the lake table via foreachBatch (T6).
@@ -92,7 +93,8 @@ def stream_ingest(
     """
     results: list[dict] = []
     _apply = _make_foreach_batch(
-        spark, table, results, quarantine_dir, late_threshold, apply_kwargs
+        spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
+        post_apply=post_apply,
     )
 
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
@@ -142,6 +144,7 @@ def stream_ingest_continuous(
     dedup_keys: list[str] | None = None,
     quarantine_dir: str | None = None,
     late_threshold: str | None = None,
+    post_apply=None,
     **apply_kwargs,
 ):
     """The production loop: the SAME query as ``stream_ingest`` under a
@@ -157,7 +160,8 @@ def stream_ingest_continuous(
     code path, two triggers."""
     results: list[dict] = []
     _apply = _make_foreach_batch(
-        spark, table, results, quarantine_dir, late_threshold, apply_kwargs
+        spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
+        post_apply=post_apply,
     )
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
     events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
@@ -177,6 +181,7 @@ def _make_foreach_batch(
     quarantine_dir: str | None,
     late_threshold: str | None,
     apply_kwargs: dict,
+    post_apply=None,
 ):
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
@@ -212,6 +217,15 @@ def _make_foreach_batch(
             offsets=offsets, **apply_kwargs,
         )
         res["quarantined"] = n_late
+        if post_apply is not None:
+            # Derived sinks riding the SAME micro-batch (e.g. the dedup
+            # signature index, streaming/dedup_index.py).  Runs after the
+            # main MERGE, so a crash between the two replays the batch
+            # with the same content-addressed id: the main table no-ops
+            # and the hook retries — the hook MUST therefore be
+            # idempotent on the batch id (ours are: they're apply_batch
+            # MERGEs with their own fencing).
+            res["post"] = post_apply(df, content_batch_id, offsets)
         results.append(res)
 
     return _apply

@@ -105,6 +105,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--create-tag", default=None,
                    help="tag the final snapshot with this name (immutable "
                         "ref; vacuum retains its files)")
+    p.add_argument("--signature-index", default=None,
+                   help="maintain a near-dup signature index (lake table "
+                        "at this root, created if missing) from the same "
+                        "ingest: each batch/micro-batch MERGEs into table "
+                        "AND index under the same content-addressed id; "
+                        "batch mode first catches the index up to the "
+                        "table's offset high-water (crash-safe)")
     p.add_argument("--master", default=None,
                    help="override master (tests); production uses spark-submit --master")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -208,6 +215,43 @@ def main(argv: list[str] | None = None) -> int:
         print(f"rebucketed to {args.rebucket_to} buckets in "
               f"{info['steps']} step(s), snapshot {info['final_snapshot']}")
 
+    sig_hook = None
+    sig_index = None
+    if args.signature_index is not None:
+        if args.branch is not None:
+            # staged work may be audit-rejected; a shared index must never
+            # hold signatures of content main readers can't see.  Publish
+            # first, then catch the index up in a second invocation.
+            raise SystemExit(
+                "--signature-index with --branch would index unpublished "
+                "staged content — publish the branch first, then run with "
+                "--signature-index (its catch-up covers the published range)"
+            )
+        from glad_tiles_pipeline_spark.operators.incremental import (
+            create_signature_index,
+        )
+        from glad_tiles_pipeline_spark.streaming.dedup_index import (
+            catch_up_signature_index,
+            signature_index_hook,
+        )
+
+        if os.path.exists(os.path.join(args.signature_index, "manifests")):
+            sig_index = LakeTable(args.signature_index)
+        else:
+            sig_index = create_signature_index(
+                args.signature_index, n_buckets=args.n_buckets
+            )
+        sig_hook = signature_index_hook(spark, sig_index)
+        if args.mode == "batch":
+            # bootstrap / crash-between-sinks recovery: bring the index to
+            # the table's offset high-water before new windows are planned
+            caught = catch_up_signature_index(
+                spark, table, sig_index, args.changelog, hook=sig_hook,
+            )
+            if caught is not None and not caught.get("skipped"):
+                print(f"signature index caught up: "
+                      f"{caught['metrics']['events_read']} event(s)")
+
     if args.mode == "batch":
         results = ingest_changelog(
             spark,
@@ -219,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
             use_arrow_udfs=args.use_arrow_udfs,
+            post_apply=sig_hook,
         )
     else:
         from glad_tiles_pipeline_spark.streaming import stream_ingest
@@ -233,6 +278,7 @@ def main(argv: list[str] | None = None) -> int:
             dedup_strategy=args.dedup_strategy,
             merge_mode=args.merge_mode,
             use_arrow_udfs=args.use_arrow_udfs,
+            post_apply=sig_hook,
         )
 
     if args.compact_after:
@@ -269,6 +315,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if vacuumed is not None:
         summary["vacuum"] = vacuumed
+    if sig_index is not None:
+        summary["signature_index_snapshot"] = sig_index.current_snapshot_id()
     if args.incremental_from is not None:
         try:
             summary["incremental_rows"] = table.incremental(
