@@ -1057,6 +1057,67 @@ def q_dedup_embedding_incremental(spark, sf_dir):
     return incremental_embedding_neardup(emb, batch, bk, threshold=0.45)
 
 
+def q_merge_into_upsert(spark, sf_dir):
+    """Declarative MERGE INTO (operators/merge_into.py) compiled onto the
+    exactly-once CDC apply path: documents with doc_id % 3 != 0 seed a
+    lake table; the even-doc_id half merges in with a conditional UPDATE
+    (langid replaced, n_chars accumulates t+s), a conditional DELETE
+    (n_chars % 7 = 0 — evaluated before UPDATE, Delta clause order), and
+    a conditional INSERT (n_chars % 5 <> 2).  Returns the table's final
+    resolved state; the oracle recomputes the same MERGE as pure SQL over
+    the same inputs.  The payload column is named ``langid`` (not the CDC
+    schema's ``lang``) so the engine's lang normalization stays out of
+    the comparison — this query checks MERGE semantics, not text fns."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch
+    from glad_tiles_pipeline_spark.operators.merge_into import merge_into
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+
+    docs = _t(spark, sf_dir, "documents")
+    schema = T.StructType([
+        T.StructField("corpus", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("langid", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    root = tempfile.mkdtemp(prefix="merge_into_")
+    table = LakeTable.create(root + "/t", schema=schema, n_buckets=8)
+    seed = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("offset"),
+        F.lit(1).cast("long").alias("commit_seq"),
+        F.lit("U").alias("op"),
+        F.lit("docs").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.col("lang").alias("langid"),
+        F.col("n_chars"),
+        F.lit(None).cast("string").alias("control"),
+    )
+    apply_batch(spark, table, seed, "seed", use_arrow_udfs=False)
+    src = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.lit("docs").alias("corpus"),
+        F.format_string("%012d", F.col("doc_id")).alias("doc_id"),
+        F.col("lang").alias("langid"),
+        F.col("n_chars"),
+    )
+    merge_into(
+        spark, table, src, "m1",
+        when_matched_update={"langid": "s.langid",
+                             "n_chars": "t.n_chars + s.n_chars"},
+        matched_condition="s.n_chars % 3 <> 1",
+        when_matched_delete=True,
+        delete_condition="s.n_chars % 7 = 0",
+        when_not_matched_insert={"langid": "s.langid",
+                                 "n_chars": "s.n_chars"},
+        insert_condition="s.n_chars % 5 <> 2",
+        merge_mode="mor",
+        use_arrow_udfs=False,
+    )
+    return table.scan(spark).select("corpus", "doc_id", "langid", "n_chars")
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Banded-LSH candidates + exact-cosine verify; threshold 0.45 sits just
     inside the fixtures' similarity range (14 pairs at sf0.01) so the oracle
@@ -1749,6 +1810,31 @@ _ALL_ORACLES: dict[str, str] = {
     "dedup_simhash_incremental": (
         f"SELECT * FROM ({_SIMHASH_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
     ),
+    # the same MERGE recomputed declaratively: matched rows delete when
+    # n_chars % 7 = 0 (clause precedence), update when % 3 <> 1 (else
+    # untouched), source-only rows insert when % 5 <> 2
+    "merge_into_upsert": """
+        WITH tgt AS (
+            SELECT 'docs' AS corpus,
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+                   lang AS langid, n_chars
+            FROM documents WHERE doc_id % 3 <> 0),
+        src AS (
+            SELECT 'docs' AS corpus,
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+                   lang AS langid, n_chars
+            FROM documents WHERE doc_id % 2 = 0)
+        SELECT t.corpus, t.doc_id,
+               CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 3 <> 1
+                    THEN s.langid ELSE t.langid END AS langid,
+               CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 3 <> 1
+                    THEN t.n_chars + s.n_chars ELSE t.n_chars END AS n_chars
+        FROM tgt t LEFT JOIN src s USING (corpus, doc_id)
+        WHERE s.doc_id IS NULL OR s.n_chars % 7 <> 0
+        UNION ALL
+        SELECT s.corpus, s.doc_id, s.langid, s.n_chars
+        FROM src s LEFT JOIN tgt t USING (corpus, doc_id)
+        WHERE t.doc_id IS NULL AND s.n_chars % 5 <> 2""",
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "dedup_embedding_incremental": (
         f"SELECT * FROM ({_EMB_NEARDUP_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
@@ -1874,6 +1960,7 @@ EXTRA_QUERIES = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
+    "merge_into_upsert": q_merge_into_upsert,
     "sample_stratified_quota": q_sample_stratified,
     "sample_hash_bernoulli": q_sample_hash,
 }
