@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_incremental",
     "dedup_embedding_incremental",
     "merge_into_upsert",
+    "text_search_terms",
     "text_quality_score",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

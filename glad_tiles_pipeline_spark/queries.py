@@ -1057,6 +1057,59 @@ def q_dedup_embedding_incremental(spark, sf_dir):
     return incremental_embedding_neardup(emb, batch, bk, threshold=0.45)
 
 
+_TOK_INDEX_CACHE: dict[str, object] = {}
+
+
+def _tok_index_for(spark, sf_dir):
+    """Inverted token index over the documents corpus, built through the
+    real MERGE path in three generations — base, late adds, then a
+    re-ingest that CHANGES token sets plus deletes — and key-clustered so
+    term reads are stats-pruned.  The interesting state for the oracle:
+    stale postings exist physically and must lose the version check."""
+    idx = _TOK_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        from glad_tiles_pipeline_spark.operators.merge import compact
+        from glad_tiles_pipeline_spark.operators.textindex import (
+            create_token_index,
+            update_token_index,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="tok_index_")
+        idx = create_token_index(root + "/index", n_buckets=8)
+        update_token_index(
+            spark, idx, docs.filter(F.col("doc_id") % 7 != 3), "tok-b1", 1)
+        update_token_index(
+            spark, idx, docs.filter(F.col("doc_id") % 7 == 3), "tok-b2", 2)
+        reingest = docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 13 != 5)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" spark extra")))
+        update_token_index(
+            spark, idx, reingest, "tok-b3", 3,
+            deletes=docs.filter(F.col("doc_id") % 13 == 5).select("doc_id"))
+        compact(spark, idx, batch_id="tok-compact", cluster_by_key=True)
+        _TOK_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_text_search_terms(spark, sf_dir):
+    """Term search over the incrementally-maintained inverted index
+    (operators/textindex.py): posting lists persisted as a lake table,
+    term reads pruned by the key-1 file stats, liveness decided by the
+    per-doc version sentinel (re-ingested docs retire their dropped
+    terms; deleted docs drop out entirely).  Oracle: DuckDB re-tokenizes
+    the LIVE corpus (same regex) and recomputes the posting lists — the
+    definitional answer the index must reproduce through its three
+    generations of updates."""
+    from glad_tiles_pipeline_spark.operators.textindex import search_terms
+
+    return search_terms(
+        spark, _tok_index_for(spark, sf_dir), ["merge", "spark", "vector"]
+    )
+
+
 def q_merge_into_upsert(spark, sf_dir):
     """Declarative MERGE INTO (operators/merge_into.py) compiled onto the
     exactly-once CDC apply path: documents with doc_id % 3 != 0 seed a
@@ -1810,6 +1863,22 @@ _ALL_ORACLES: dict[str, str] = {
     "dedup_simhash_incremental": (
         f"SELECT * FROM ({_SIMHASH_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
     ),
+    # definitional recompute of the inverted-index search: tokenize the
+    # LIVE corpus (post re-ingest of %10==0 docs with ' spark extra'
+    # appended, post delete of %13==5 docs) with the same [a-z0-9]+ class
+    "text_search_terms": """
+        WITH live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' spark extra'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 5),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM live)
+        SELECT term, doc_id, count(*) AS tf
+        FROM toks WHERE term IN ('merge', 'spark', 'vector')
+        GROUP BY term, doc_id""",
     # the same MERGE recomputed declaratively: matched rows delete when
     # n_chars % 7 = 0 (clause precedence), update when % 3 <> 1 (else
     # untouched), source-only rows insert when % 5 <> 2
@@ -1961,6 +2030,7 @@ EXTRA_QUERIES = {
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "merge_into_upsert": q_merge_into_upsert,
+    "text_search_terms": q_text_search_terms,
     "sample_stratified_quota": q_sample_stratified,
     "sample_hash_bernoulli": q_sample_hash,
 }
