@@ -831,6 +831,7 @@ class LakeTable:
         tag: str | None = None,
         key: tuple[str, str] | None = None,
         with_positions: bool = False,
+        as_of: "str | float | None" = None,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id``, optionally pruned to a
         bucket subset.  Bucket pruning is the engine's custom partition-
@@ -877,6 +878,13 @@ class LakeTable:
             if repos is not None:
                 raise ValueError("pass key= or repos=, not both")
             repos = [key[0]]
+        if as_of is not None:
+            # timestamp travel resolves to a snapshot id up front, then
+            # rides the ordinary id path (including the vacuum-horizon
+            # guard below — an expired as-of read refuses like any other)
+            if snapshot_id is not None or tag is not None:
+                raise ValueError("pass exactly one of snapshot_id/tag/as_of")
+            snapshot_id = self.snapshot_as_of(as_of)
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
@@ -1303,6 +1311,27 @@ class LakeTable:
             )
 
     # -- table history / incremental reads ------------------------------------
+
+    def snapshot_as_of(self, ts: "str | float") -> int:
+        """Latest snapshot committed at or before ``ts`` (Iceberg
+        `FOR TIMESTAMP AS OF` parity).  ``ts`` is an ISO-8601 UTC string
+        (the ``committed_at`` format, e.g. ``2026-08-18T07:00:00Z``) or
+        epoch seconds.  Chosen as the max snapshot id among qualifying
+        commits — robust to wall-clock jitter between commits within the
+        same second.  O(snapshots) driver-side manifest walk, like
+        ``history()``; pair with ``scan(as_of=...)``."""
+        if isinstance(ts, (int, float)):
+            ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(ts))
+        best = None
+        for sid in range(0, self.current_snapshot_id() + 1):
+            if self.manifest(sid)["committed_at"] <= ts:
+                best = sid
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {ts!r} "
+                "(table created later)"
+            )
+        return best
 
     def history(self, spark: SparkSession) -> DataFrame:
         """Snapshot history as a DataFrame (Iceberg `table.history()` /
