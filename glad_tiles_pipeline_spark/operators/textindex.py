@@ -51,12 +51,17 @@ TOKEN_RE = "[a-z0-9]+"
 # appear in a TOKEN_RE match, so it collides with no real posting
 DOC_SENTINEL = "\x00doc"
 
+# a posting's version identity is the emitting event's FULL LWW ordering
+# pair (commit_seq, offset) — doc_seq alone cannot distinguish two versions
+# of a doc arriving under the same commit_seq (the changelog tie-break is
+# by offset, so the sentinel must be too)
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("doc_id", T.StringType()),
         T.StructField("tf", T.LongType()),
         T.StructField("doc_seq", T.LongType()),
+        T.StructField("doc_off", T.LongType()),
     ]
 )
 
@@ -114,6 +119,7 @@ def posting_events(
         F.format_string("%012d", F.col("__id")).alias("path"),
         F.col("tf"),
         F.lit(int(commit_seq)).cast("long").alias("doc_seq"),
+        F.col("__id").alias("doc_off"),
         F.lit(None).cast("string").alias("control"),
     )
 
@@ -138,9 +144,12 @@ def update_token_index(
     )
 
 
-def _live_sentinels(spark: SparkSession, index: LakeTable) -> DataFrame:
-    return index.scan(spark, repos=[DOC_SENTINEL]).select(
-        F.col("doc_id"), F.col("doc_seq").alias("__cur")
+def _live_sentinels(spark: SparkSession, index: LakeTable,
+                    snapshot_id: int | None = None) -> DataFrame:
+    return index.scan(spark, repos=[DOC_SENTINEL], snapshot_id=snapshot_id).select(
+        F.col("doc_id"),
+        F.col("doc_seq").alias("__cur"),
+        F.col("doc_off").alias("__cur_off"),
     )
 
 
@@ -159,15 +168,127 @@ def search_terms(
     if DOC_SENTINEL in terms:
         raise ValueError("sentinel term is not searchable")
     post = index.scan(spark, repos=terms, snapshot_id=snapshot_id).select(
-        "term", "doc_id", "tf", "doc_seq"
+        "term", "doc_id", "tf", "doc_seq", "doc_off"
     )
-    sent = index.scan(spark, repos=[DOC_SENTINEL], snapshot_id=snapshot_id).select(
-        F.col("doc_id"), F.col("doc_seq").alias("__cur")
+    sent = _live_sentinels(spark, index, snapshot_id)
+    live = sent.join(F.broadcast(post), "doc_id").filter(
+        (F.col("doc_seq") == F.col("__cur"))
+        & (F.col("doc_off") == F.col("__cur_off"))
     )
-    return (
-        sent.join(F.broadcast(post), "doc_id")
-        .filter(F.col("doc_seq") == F.col("__cur"))
-        .select("term", F.col("doc_id").cast("long").alias("doc_id"), "tf")
+    return live.select(
+        "term", F.col("doc_id").cast("long").alias("doc_id"), "tf"
+    )
+
+
+def posting_events_from_changelog(events: DataFrame) -> DataFrame:
+    """Project a CDC changelog (micro-)batch onto the token-index
+    changelog — the X12 twin of
+    ``incremental.signature_events_from_changelog``: postings of each
+    content-bearing event's NEW token set, one version sentinel per event
+    carrying the event's full LWW ordering pair ``(commit_seq, offset)``,
+    and a sentinel tombstone per delete / NULL-content event.
+
+    ``offset``/``commit_seq`` ride VERBATIM, so index arbitration — both
+    the per-key LWW inside ``apply_batch`` and the read-side version
+    check — reproduces the main table's exactly: the sentinel's winning
+    (doc_seq, doc_off) IS the table's winning version, postings from any
+    other version (older, late, same-seq-lower-offset) fail the pair
+    check.  Documents are the composite ``repo ⊕ path`` string id used by
+    the incremental-dedup CDC spellings.  Control events are dropped (the
+    index schema never evolves with the table's).  O(batch tokens)."""
+    from glad_tiles_pipeline_spark.operators.incremental import CDC_DOC_SEP
+
+    rows = events.filter(F.col("control").isNull())
+    doc = F.concat_ws(CDC_DOC_SEP, "repo", "path").alias("__doc")
+    live = rows.filter(
+        (F.col("op") != "D") & F.col("content").isNotNull()
+    ).select("offset", "commit_seq", doc, F.col("content"))
+    posts = (
+        live.select(
+            "offset", "commit_seq", "__doc",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("content")), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("offset", "commit_seq", "__doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    sent = live.select(
+        "offset", "commit_seq", "__doc",
+        F.lit(DOC_SENTINEL).alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+    )
+    ev_u = posts.unionByName(sent).withColumn("op", F.lit("U"))
+    dead = rows.filter(
+        (F.col("op") == "D") | F.col("content").isNull()
+    ).select(
+        "offset", "commit_seq", doc,
+        F.lit(DOC_SENTINEL).alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit("D").alias("op"),
+    )
+    return ev_u.unionByName(dead).select(
+        "offset", "commit_seq", "op",
+        F.col("term").alias("repo"),
+        F.col("__doc").alias("path"),
+        "tf",
+        F.col("commit_seq").alias("doc_seq"),
+        F.col("offset").alias("doc_off"),
+        F.lit(None).cast("string").alias("control"),
+    )
+
+
+def token_index_hook(spark: SparkSession, index: LakeTable,
+                     merge_mode: str = "mor"):
+    """A ``post_apply`` hook for the T6 bridges / batch planner: MERGE
+    each micro-batch's posting events into ``index`` under the batch's
+    content-addressed id (prefixed ``tok-``) — one stream maintaining
+    table + token index exactly-once, same fencing/crash story as the
+    signature-index hook (streaming/dedup_index.py); catch-up after a
+    batch-mode crash between the sinks reuses
+    ``dedup_index.catch_up_signature_index(hook=token_index_hook(...))``."""
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch
+
+    def _hook(df: DataFrame, batch_id: str, offsets: dict) -> dict:
+        ev = posting_events_from_changelog(df)
+        return apply_batch(
+            spark, index, ev, batch_id=f"tok-{batch_id}",
+            offsets=offsets, merge_mode=merge_mode, use_arrow_udfs=False,
+        )
+
+    return _hook
+
+
+def search_terms_cdc(
+    spark: SparkSession,
+    index: LakeTable,
+    terms: "list[str]",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """CDC spelling of ``search_terms``: (term, repo, path, tf) over a
+    changelog-maintained index whose doc ids are the composite
+    ``repo ⊕ path`` string.  Same pruned-read + broadcast shape."""
+    from glad_tiles_pipeline_spark.operators.incremental import CDC_DOC_SEP
+
+    terms = sorted({t.lower() for t in terms})
+    if DOC_SENTINEL in terms:
+        raise ValueError("sentinel term is not searchable")
+    post = index.scan(spark, repos=terms, snapshot_id=snapshot_id).select(
+        "term", "doc_id", "tf", "doc_seq", "doc_off"
+    )
+    sent = _live_sentinels(spark, index, snapshot_id)
+    live = sent.join(F.broadcast(post), "doc_id").filter(
+        (F.col("doc_seq") == F.col("__cur"))
+        & (F.col("doc_off") == F.col("__cur_off"))
+    )
+    parts = F.split(F.col("doc_id"), CDC_DOC_SEP, 2)
+    return live.select(
+        "term",
+        parts.getItem(0).alias("repo"),
+        parts.getItem(1).alias("path"),
+        "tf",
     )
 
 
@@ -186,7 +307,9 @@ def gc_token_index(
     full = index.scan(spark).filter(F.col("term") != DOC_SENTINEL)
     sent = _live_sentinels(spark, index)
     dead = full.join(sent, "doc_id", "left").filter(
-        F.col("__cur").isNull() | (F.col("doc_seq") != F.col("__cur"))
+        F.col("__cur").isNull()
+        | (F.col("doc_seq") != F.col("__cur"))
+        | (F.col("doc_off") != F.col("__cur_off"))
     )
     seq = max_commit_seq(spark, index)  # O(manifest) via per-file stats
     ev = dead.select(
@@ -197,6 +320,7 @@ def gc_token_index(
         F.format_string("%012d", F.col("doc_id").cast("long")).alias("path"),
         F.lit(None).cast("long").alias("tf"),
         F.lit(None).cast("long").alias("doc_seq"),
+        F.lit(None).cast("long").alias("doc_off"),
         F.lit(None).cast("string").alias("control"),
     )
     return apply_batch(spark, index, ev, batch_id, merge_mode="mor",

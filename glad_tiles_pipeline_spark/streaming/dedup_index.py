@@ -102,3 +102,9 @@ def catch_up_signature_index(
         hook = signature_index_hook(spark, index, **hook_kw)
     events = read_changelog_batch(spark, changelog_dir, lo - 1, hi)
     return hook(events, batch_id_for(lo, hi), {"lo": lo, "hi": hi})
+
+
+# the catch-up is hook-generic — any derived index maintained through a
+# post_apply hook (signature index, token index, ...) closes its
+# crash-between-sinks window the same way
+catch_up_derived_index = catch_up_signature_index
