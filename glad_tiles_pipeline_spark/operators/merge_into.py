@@ -73,19 +73,24 @@ def max_commit_seq(spark: SparkSession, table: LakeTable) -> int:
     scan of just those files' buckets."""
     m = table.manifest()
     hi = -1
-    missing = False
+    missing_buckets: set[int] = set()
     for f in m["files"]:
         if f.get("kind") == "dv":
             continue
         s = (f.get("stats") or {}).get("_commit_seq")
         if s is None:
             if f["rows"] > 0:
-                missing = True
+                missing_buckets.add(int(f["bucket"]))
             continue
         hi = max(hi, int(s[1]))
-    if missing:
+    if missing_buckets:
+        # bucket pruning is ambiguous mid-migration — scan(buckets=)
+        # refuses there, so fall back to the unpruned raw read
+        kw = (
+            {"buckets": missing_buckets} if table.migration() is None else {}
+        )
         row = (
-            table.scan(spark, include_system=True)
+            table.scan(spark, include_system=True, **kw)
             .agg(F.max("_commit_seq").alias("m"))
             .collect()[0]
         )
@@ -198,61 +203,58 @@ def merge_into(
     commit_seq = max_commit_seq(spark, table) + 1
     payload = [f for f in fields if f["id"] not in (1, 2) and f.get("source")]
 
-    def _events(cond: Column, op: str, values: "dict[str, Column]") -> DataFrame:
-        cols = [
-            F.lit(0).cast("long").alias("offset"),
-            F.lit(commit_seq).cast("long").alias("commit_seq"),
-            F.lit(op).alias("op"),
-            F.col(key1).cast("string").alias("repo"),
-            F.col(key2).cast("string").alias("path"),
-        ]
-        for f in payload:
-            v = values.get(f["name"], F.lit(None))
-            cols.append(v.cast(f["type"]).alias(f["source"]))
-        cols.append(F.lit(None).cast("string").alias("control"))
-        return j.filter(cond).select(*cols)
+    # single-pass clause compilation: ONE verdict column over the joined
+    # frame (when() chains encode Delta's delete-before-update precedence;
+    # a NULL condition is falsy, like SQL), so the classification join and
+    # the bucket-pruned live read under it execute exactly once — a
+    # per-clause union would re-evaluate them per WHEN clause
+    def _and(base: Column, extra: "Column | str | None") -> Column:
+        c = _as_col(extra)
+        return base if c is None else base & c
 
-    parts: list[DataFrame] = []
-    del_cond = None
+    chain = []
     if when_matched_delete:
-        del_cond = is_matched
-        extra = _as_col(delete_condition)
-        if extra is not None:
-            del_cond = del_cond & extra
-        parts.append(_events(del_cond, "D", {}))
+        chain.append((_and(is_matched, delete_condition), "D"))
     if when_matched_update:
-        upd_cond = is_matched
-        extra = _as_col(matched_condition)
-        if extra is not None:
-            upd_cond = upd_cond & extra
-        if del_cond is not None:  # delete clause wins where it fires
-            upd_cond = upd_cond & ~F.coalesce(del_cond, F.lit(False))
-        vals = {
-            name: _as_col(e) for name, e in when_matched_update.items()
-        }
-        # unnamed payload columns keep the target's value — EXCEPT the
-        # derived sha, which rides as NULL so apply_batch's post-dedup
-        # coalesce recomputes it from the (possibly updated) content; a
-        # copied stored sha would go stale the moment content changes
-        for f in payload:
-            if f.get("source") == "content_sha":
-                vals.setdefault(f["name"], F.lit(None))
-            else:
-                vals.setdefault(f["name"], F.col(f"t.{f['name']}"))
-        parts.append(_events(upd_cond, "U", vals))
+        chain.append((_and(is_matched, matched_condition), "UPD"))
     if when_not_matched_insert:
-        ins_cond = is_insert
-        extra = _as_col(insert_condition)
-        if extra is not None:
-            ins_cond = ins_cond & extra
-        vals = {
-            name: _as_col(e) for name, e in when_not_matched_insert.items()
-        }
-        parts.append(_events(ins_cond, "U", vals))
+        chain.append((_and(is_insert, insert_condition), "INS"))
+    verdict = F.when(chain[0][0], F.lit(chain[0][1]))
+    for cond, tag_v in chain[1:]:
+        verdict = verdict.when(cond, F.lit(tag_v))
 
-    events = parts[0]
-    for p in parts[1:]:
-        events = events.unionByName(p)
+    upd_vals = {n: _as_col(e) for n, e in (when_matched_update or {}).items()}
+    # unnamed payload columns keep the target's value — EXCEPT the derived
+    # sha, which rides as NULL so apply_batch's post-dedup coalesce
+    # recomputes it from the (possibly updated) content; a copied stored
+    # sha would go stale the moment content changes
+    for f in payload:
+        if f.get("source") == "content_sha":
+            upd_vals.setdefault(f["name"], F.lit(None))
+        else:
+            upd_vals.setdefault(f["name"], F.col(f"t.{f['name']}"))
+    ins_vals = {n: _as_col(e) for n, e in (when_not_matched_insert or {}).items()}
+
+    cols = [
+        F.lit(0).cast("long").alias("offset"),
+        F.lit(commit_seq).cast("long").alias("commit_seq"),
+        F.when(F.col("__verdict") == "D", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col(key1).cast("string").alias("repo"),
+        F.col(key2).cast("string").alias("path"),
+    ]
+    for f in payload:
+        v = F.when(F.col("__verdict") == "UPD",
+                   upd_vals.get(f["name"], F.lit(None)))
+        v = v.when(F.col("__verdict") == "INS",
+                   ins_vals.get(f["name"], F.lit(None)))
+        cols.append(v.cast(f["type"]).alias(f["source"]))
+    cols.append(F.lit(None).cast("string").alias("control"))
+    events = (
+        j.withColumn("__verdict", verdict)
+        .filter(F.col("__verdict").isNotNull())
+        .select(*cols)
+    )
 
     from glad_tiles_pipeline_spark.operators.merge import apply_batch
 

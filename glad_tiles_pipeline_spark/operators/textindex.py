@@ -70,6 +70,12 @@ def create_token_index(root: str, n_buckets: int = 16, io=None) -> LakeTable:
     return LakeTable.create(root, schema=INDEX_SCHEMA, n_buckets=n_buckets, io=io)
 
 
+def _tokens(text_col):
+    """THE tokenizer — one spelling shared by the batch events, the CDC
+    events, and (verbatim regex) the DuckDB oracle."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
+
+
 def posting_events(
     docs: DataFrame,
     commit_seq: int,
@@ -79,18 +85,27 @@ def posting_events(
 ) -> DataFrame:
     """Index change events for one document batch: (term, doc_id) posting
     upserts with term frequency, one version sentinel per doc, tombstoned
-    sentinels for deletes.  Pure column expressions — tokenize, explode,
+    sentinels for deletes AND for NULL-text docs (a doc re-submitted with
+    its text cleared must retire its old postings — same contract as the
+    CDC twin ``posting_events_from_changelog``).  A doc appearing in both
+    ``docs`` and ``deletes`` deletes (MERGE clause precedence) — the two
+    events would otherwise carry an identical LWW pair and tie
+    nondeterministically.  Pure column expressions — tokenize, explode,
     count — O(batch tokens), no Python."""
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(text_col).alias("__text"),
+    ids = docs.select(F.col(id_col).cast("long").alias("__id"),
+                      F.col(text_col).alias("__text"))
+    dead_ids = ids.filter(F.col("__text").isNull()).select("__id")
+    if deletes is not None:
+        dead_ids = dead_ids.unionByName(
+            deletes.select(F.col(id_col).cast("long").alias("__id"))
+        ).distinct()
+    base = ids.filter(F.col("__text").isNotNull()).join(
+        F.broadcast(dead_ids), "__id", "left_anti"
     )
     posts = (
         base.select(
             "__id",
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("__text")), F.lit(TOKEN_RE), F.lit(0))
-            ).alias("term"),
+            F.explode(_tokens(F.col("__text"))).alias("term"),
         )
         .groupBy("__id", "term")
         .agg(F.count("*").alias("tf"))
@@ -101,16 +116,13 @@ def posting_events(
     ev = posts.unionByName(sent, allowMissingColumns=False).select(
         "__id", "term", "tf", F.lit("U").alias("op")
     )
-    if deletes is not None:
-        # only the sentinel needs a tombstone: without a live sentinel the
-        # doc's every posting fails the version check
-        tomb = deletes.select(F.col(id_col).cast("long").alias("__id")).select(
-            "__id",
-            F.lit(DOC_SENTINEL).alias("term"),
-            F.lit(None).cast("long").alias("tf"),
-            F.lit("D").alias("op"),
-        )
-        ev = ev.unionByName(tomb)
+    tomb = dead_ids.select(
+        "__id",
+        F.lit(DOC_SENTINEL).alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit("D").alias("op"),
+    )
+    ev = ev.unionByName(tomb)
     return ev.select(
         F.col("__id").alias("offset"),
         F.lit(int(commit_seq)).cast("long").alias("commit_seq"),
@@ -153,17 +165,19 @@ def _live_sentinels(spark: SparkSession, index: LakeTable,
     )
 
 
-def search_terms(
+def _live_postings(
     spark: SparkSession,
     index: LakeTable,
     terms: "list[str]",
     snapshot_id: int | None = None,
 ) -> DataFrame:
-    """Documents containing any of ``terms``: (term, doc_id, tf), live
-    versions only.  Read cost: the posting files the S22' stats prune
-    keeps (O(1) per term once compaction term-clusters the index) plus
-    the sentinel files; the only join broadcasts the output-sized posting
-    set — nothing corpus-sized shuffles."""
+    """The shared retrieval pipeline behind both search spellings:
+    stats-pruned posting read for ``terms``, broadcast against the pruned
+    sentinel read, version-PAIR liveness filter.  Read cost: the posting
+    files the S22' stats prune keeps (O(1) per term once compaction
+    term-clusters the index) plus the sentinel files; the only join
+    broadcasts the output-sized posting set — nothing corpus-sized
+    shuffles."""
     terms = sorted({t.lower() for t in terms})
     if DOC_SENTINEL in terms:
         raise ValueError("sentinel term is not searchable")
@@ -171,11 +185,22 @@ def search_terms(
         "term", "doc_id", "tf", "doc_seq", "doc_off"
     )
     sent = _live_sentinels(spark, index, snapshot_id)
-    live = sent.join(F.broadcast(post), "doc_id").filter(
+    return sent.join(F.broadcast(post), "doc_id").filter(
         (F.col("doc_seq") == F.col("__cur"))
         & (F.col("doc_off") == F.col("__cur_off"))
     )
-    return live.select(
+
+
+def search_terms(
+    spark: SparkSession,
+    index: LakeTable,
+    terms: "list[str]",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Documents containing any of ``terms``: (term, doc_id, tf), live
+    versions only — the numeric-doc-id spelling (see ``_live_postings``
+    for the plan shape)."""
+    return _live_postings(spark, index, terms, snapshot_id).select(
         "term", F.col("doc_id").cast("long").alias("doc_id"), "tf"
     )
 
@@ -206,11 +231,7 @@ def posting_events_from_changelog(events: DataFrame) -> DataFrame:
     posts = (
         live.select(
             "offset", "commit_seq", "__doc",
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("content")), F.lit(TOKEN_RE), F.lit(0)
-                )
-            ).alias("term"),
+            F.explode(_tokens(F.col("content"))).alias("term"),
         )
         .groupBy("offset", "commit_seq", "__doc", "term")
         .agg(F.count("*").alias("tf"))
@@ -269,20 +290,11 @@ def search_terms_cdc(
 ) -> DataFrame:
     """CDC spelling of ``search_terms``: (term, repo, path, tf) over a
     changelog-maintained index whose doc ids are the composite
-    ``repo ⊕ path`` string.  Same pruned-read + broadcast shape."""
+    ``repo ⊕ path`` string — same shared pipeline, different id
+    projection."""
     from glad_tiles_pipeline_spark.operators.incremental import CDC_DOC_SEP
 
-    terms = sorted({t.lower() for t in terms})
-    if DOC_SENTINEL in terms:
-        raise ValueError("sentinel term is not searchable")
-    post = index.scan(spark, repos=terms, snapshot_id=snapshot_id).select(
-        "term", "doc_id", "tf", "doc_seq", "doc_off"
-    )
-    sent = _live_sentinels(spark, index, snapshot_id)
-    live = sent.join(F.broadcast(post), "doc_id").filter(
-        (F.col("doc_seq") == F.col("__cur"))
-        & (F.col("doc_off") == F.col("__cur_off"))
-    )
+    live = _live_postings(spark, index, terms, snapshot_id)
     parts = F.split(F.col("doc_id"), CDC_DOC_SEP, 2)
     return live.select(
         "term",
@@ -300,7 +312,15 @@ def gc_token_index(
     events for every posting whose version lost (or whose doc has no
     sentinel) — through the same MERGE, so the GC commit is fenced,
     idempotent, and time-travel-visible like any other.  O(index) read,
-    O(dead) write; correctness never depends on running it."""
+    O(dead) write; correctness never depends on running it.
+
+    Works on both index spellings: the stored ``doc_id`` rides back
+    VERBATIM as the event ``path`` (batch-numeric or CDC-composite
+    alike).  The tombstones are stamped ``(max stored commit_seq + 1,
+    offset -1)``: the commit_seq strictly beats every stored row, and no
+    legitimate event ever carries a negative offset — so a future
+    re-ingest at the same commit_seq (offset ≥ 0) deterministically WINS
+    over the GC tombstone instead of tying on the LWW pair."""
     from glad_tiles_pipeline_spark.operators.merge import apply_batch
     from glad_tiles_pipeline_spark.operators.merge_into import max_commit_seq
 
@@ -313,15 +333,20 @@ def gc_token_index(
     )
     seq = max_commit_seq(spark, index)  # O(manifest) via per-file stats
     ev = dead.select(
-        F.col("doc_id").cast("long").alias("offset"),
+        F.lit(-1).cast("long").alias("offset"),
         F.lit(seq + 1).cast("long").alias("commit_seq"),
         F.lit("D").alias("op"),
         F.col("term").alias("repo"),
-        F.format_string("%012d", F.col("doc_id").cast("long")).alias("path"),
+        F.col("doc_id").alias("path"),
         F.lit(None).cast("long").alias("tf"),
         F.lit(None).cast("long").alias("doc_seq"),
         F.lit(None).cast("long").alias("doc_off"),
         F.lit(None).cast("string").alias("control"),
     )
+    prev_hi = index.last_committed_offset()
     return apply_batch(spark, index, ev, batch_id, merge_mode="mor",
-                       use_arrow_udfs=False)
+                       use_arrow_udfs=False,
+                       # GC consumes nothing from any upstream log: keep
+                       # the offset high-water where it was (the -1 event
+                       # offsets must not regress it)
+                       offsets={"lo": prev_hi + 1, "hi": prev_hi})

@@ -1319,12 +1319,29 @@ class LakeTable:
         epoch seconds.  Chosen as the max snapshot id among qualifying
         commits — robust to wall-clock jitter between commits within the
         same second.  O(snapshots) driver-side manifest walk, like
-        ``history()``; pair with ``scan(as_of=...)``."""
+        ``history()``; pair with ``scan(as_of=...)``.
+
+        Timestamps are compared as PARSED epochs, never lexicographically
+        — a valid-but-non-canonical ISO form ('...00.500Z', '...+00:00')
+        would otherwise silently resolve to the wrong snapshot."""
+        from datetime import datetime, timezone
+
         if isinstance(ts, (int, float)):
-            ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(ts))
+            want = float(ts)
+        else:
+            try:
+                dt = datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+            except ValueError:
+                raise ValueError(f"unparseable as_of timestamp {ts!r}")
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            want = dt.timestamp()
         best = None
         for sid in range(0, self.current_snapshot_id() + 1):
-            if self.manifest(sid)["committed_at"] <= ts:
+            committed = datetime.strptime(
+                self.manifest(sid)["committed_at"], "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=timezone.utc).timestamp()
+            if committed <= want:
                 best = sid
         if best is None:
             raise ValueError(

@@ -92,6 +92,27 @@ def test_fresh_checkpoint_replay_noops_both_sinks(spark, env):
     assert env["index"].current_snapshot_id() == index_snap
 
 
+def test_gc_works_on_cdc_composite_ids(spark, env):
+    """GC must reclaim dead postings on a changelog-maintained index too:
+    the stored composite doc_id rides back verbatim as the event path (a
+    numeric re-format would tombstone nonexistent keys and reclaim
+    nothing)."""
+    from glad_tiles_pipeline_spark.operators.textindex import gc_token_index
+
+    before = {
+        (r["term"], r["repo"], r["path"], r["tf"])
+        for r in search_terms_cdc(spark, env["index"], TERMS).collect()
+    }
+    out = gc_token_index(spark, env["index"], "gc-cdc")
+    # the late-heavy log guarantees superseded versions -> dead postings
+    assert out["metrics"]["deletes_requested"] > 0
+    after = {
+        (r["term"], r["repo"], r["path"], r["tf"])
+        for r in search_terms_cdc(spark, env["index"], TERMS).collect()
+    }
+    assert after == before
+
+
 def test_batch_crash_between_sinks_converges_via_catchup(spark, tmp_path):
     """Batch planner: the main table commits a window the index never
     saw (simulated crash between the two MERGEs); the generic catch-up

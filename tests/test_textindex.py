@@ -117,6 +117,44 @@ def test_search_reads_are_term_pruned(spark, tmp_path):
     assert _search(spark, idx, TERMS) == _expected(LIVE, TERMS)
 
 
+def test_doc_in_both_docs_and_deletes_deletes(spark, tmp_path):
+    """MERGE clause precedence: a doc present in the batch AND in the
+    delete set deletes — the two sentinel events would otherwise tie on
+    the LWW pair and resolve nondeterministically."""
+    idx = create_token_index(str(tmp_path / "tok"), n_buckets=4)
+    v1 = spark.createDataFrame(DOCS_V1, ["doc_id", "text"])
+    update_token_index(spark, idx, v1, "b1", 1)
+    dels = spark.createDataFrame([Row(doc_id=1)])
+    update_token_index(spark, idx, v1.filter(F.col("doc_id") == 1),
+                       "b2", 2, deletes=dels)
+    assert _search(spark, idx, {"spark"}) == {("spark", 4, 1)}
+
+
+def test_null_text_doc_tombstones_like_cdc_twin(spark, tmp_path):
+    """A doc re-submitted with NULL text retires its old postings — the
+    same contract as posting_events_from_changelog on a NULL-content
+    winner."""
+    idx = create_token_index(str(tmp_path / "tok"), n_buckets=4)
+    v1 = spark.createDataFrame(DOCS_V1, ["doc_id", "text"])
+    update_token_index(spark, idx, v1, "b1", 1)
+    cleared = spark.createDataFrame([(3, None)], "doc_id long, text string")
+    update_token_index(spark, idx, cleared, "b2", 2)
+    # doc 3's postings are gone; doc 1 still holds its own 'merge'
+    assert _search(spark, idx, {"merge", "hash"}) == {("merge", 1, 1)}
+
+
+def test_gc_tombstone_loses_to_same_seq_reingest(spark, tmp_path):
+    """The GC stamps deletes at (max_seq+1, offset -1); a later re-ingest
+    at that same commit_seq (offset = doc id >= 0) must deterministically
+    WIN, or a re-added term would vanish depending on tie-break luck."""
+    idx = _build(spark, tmp_path)           # index max commit_seq == 2
+    gc_token_index(spark, idx, "gc1")       # tombstones stamped at seq 3
+    # doc 1 re-adds 'merge' (tombstoned dead at GC time) at seq 3
+    re_add = spark.createDataFrame([(1, "merge spark")], ["doc_id", "text"])
+    update_token_index(spark, idx, re_add, "b3", 3)
+    assert ("merge", 1, 1) in _search(spark, idx, {"merge"})
+
+
 def test_tokenizer_matches_oracle_regex(spark):
     """The Spark tokenizer and the DuckDB oracle share TOKEN_RE verbatim;
     sanity-check the Spark spelling on mixed punctuation/case."""

@@ -50,6 +50,20 @@ def test_as_of_now_is_current_and_iso_accepted(spark, env):
     assert table.snapshot_as_of(iso) == table.current_snapshot_id()
 
 
+def test_as_of_parses_non_canonical_iso(spark, env):
+    """Epoch comparison, not lexicographic: '+00:00' and fractional-second
+    forms would sort AFTER the canonical '...Z' strings and silently pick
+    an older snapshot."""
+    table, mid = env["table"], env["mid_sid"]
+    iso_offset = time.strftime("%Y-%m-%dT%H:%M:%S+00:00",
+                               time.gmtime(env["t_mid"]))
+    assert table.snapshot_as_of(iso_offset) == mid
+    frac = time.strftime("%Y-%m-%dT%H:%M:%S.500Z", time.gmtime(env["t_mid"]))
+    assert table.snapshot_as_of(frac) == mid
+    with pytest.raises(ValueError, match="unparseable"):
+        table.snapshot_as_of("yesterday-ish")
+
+
 def test_as_of_before_create_refuses(spark, env):
     with pytest.raises(ValueError, match="no snapshot committed"):
         env["table"].snapshot_as_of(0.0)
