@@ -112,6 +112,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "AND index under the same content-addressed id; "
                         "batch mode first catches the index up to the "
                         "table's offset high-water (crash-safe)")
+    p.add_argument("--token-index", default=None,
+                   help="maintain an inverted token index (lake table at "
+                        "this root, created if missing) from the same "
+                        "ingest — same hook seam, fencing and catch-up "
+                        "story as --signature-index; composable with it "
+                        "(each derived sink fences its own batch-id space)")
     p.add_argument("--master", default=None,
                    help="override master (tests); production uses spark-submit --master")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -215,42 +221,75 @@ def main(argv: list[str] | None = None) -> int:
         print(f"rebucketed to {args.rebucket_to} buckets in "
               f"{info['steps']} step(s), snapshot {info['final_snapshot']}")
 
-    sig_hook = None
+    hooks = []
     sig_index = None
-    if args.signature_index is not None:
+    if args.signature_index is not None or args.token_index is not None:
         if args.branch is not None:
             # staged work may be audit-rejected; a shared index must never
             # hold signatures of content main readers can't see.  Publish
             # first, then catch the index up in a second invocation.
             raise SystemExit(
-                "--signature-index with --branch would index unpublished "
+                "a derived index with --branch would index unpublished "
                 "staged content — publish the branch first, then run with "
-                "--signature-index (its catch-up covers the published range)"
+                "--signature-index / --token-index (catch-up covers the "
+                "published range)"
             )
-        from glad_tiles_pipeline_spark.operators.incremental import (
-            create_signature_index,
-        )
         from glad_tiles_pipeline_spark.streaming.dedup_index import (
-            catch_up_signature_index,
-            signature_index_hook,
+            catch_up_derived_index,
         )
 
-        if os.path.exists(os.path.join(args.signature_index, "manifests")):
-            sig_index = LakeTable(args.signature_index)
-        else:
-            sig_index = create_signature_index(
-                args.signature_index, n_buckets=args.n_buckets
+        def _derived(root, create, make_hook, label):
+            if os.path.exists(os.path.join(root, "manifests")):
+                idx = LakeTable(root)
+            else:
+                idx = create(root, n_buckets=args.n_buckets)
+            hook = make_hook(spark, idx)
+            if args.mode == "batch":
+                # bootstrap / crash-between-sinks recovery: bring the index
+                # to the table's offset high-water before new windows plan
+                caught = catch_up_derived_index(
+                    spark, table, idx, args.changelog, hook=hook,
+                )
+                if caught is not None and not caught.get("skipped"):
+                    print(f"{label} caught up: "
+                          f"{caught['metrics']['events_read']} event(s)")
+            return idx, hook
+
+        if args.signature_index is not None:
+            from glad_tiles_pipeline_spark.operators.incremental import (
+                create_signature_index,
             )
-        sig_hook = signature_index_hook(spark, sig_index)
-        if args.mode == "batch":
-            # bootstrap / crash-between-sinks recovery: bring the index to
-            # the table's offset high-water before new windows are planned
-            caught = catch_up_signature_index(
-                spark, table, sig_index, args.changelog, hook=sig_hook,
+            from glad_tiles_pipeline_spark.streaming.dedup_index import (
+                signature_index_hook,
             )
-            if caught is not None and not caught.get("skipped"):
-                print(f"signature index caught up: "
-                      f"{caught['metrics']['events_read']} event(s)")
+
+            sig_index, h = _derived(
+                args.signature_index, create_signature_index,
+                signature_index_hook, "signature index",
+            )
+            hooks.append(h)
+        if args.token_index is not None:
+            from glad_tiles_pipeline_spark.operators.textindex import (
+                create_token_index,
+                token_index_hook,
+            )
+
+            _, h = _derived(
+                args.token_index, create_token_index,
+                token_index_hook, "token index",
+            )
+            hooks.append(h)
+
+    if not hooks:
+        sig_hook = None
+    elif len(hooks) == 1:
+        sig_hook = hooks[0]
+    else:
+        def sig_hook(df, batch_id, offsets, _hooks=tuple(hooks)):
+            # each derived sink fences its own prefixed batch id, so the
+            # composition is exactly-once per sink even if a crash lands
+            # between them (same argument as table-vs-index)
+            return {"sinks": [h(df, batch_id, offsets) for h in _hooks]}
 
     if args.mode == "batch":
         results = ingest_changelog(
