@@ -811,6 +811,7 @@ def compact(
     batch_id: str | None = None,
     cluster_by_key: bool = False,
     target_file_rows: int | None = None,
+    zorder_by: "tuple[str, str] | None" = None,
 ) -> dict:
     """Rewrite merge-on-read buckets to one LWW-resolved generation per key.
 
@@ -831,7 +832,20 @@ def compact(
     being compacted); ingest hot-path cost is unchanged because
     clustering only ever runs inside this background rewrite.  Skew-safe:
     the range partitioner splits on sampled row counts, so a hot monorepo
-    spans several range partitions instead of hot-spotting one."""
+    spans several range partitions instead of hot-spotting one.
+
+    ``zorder_by=(dim1, dim2)`` (Delta ``OPTIMIZE ZORDER BY`` parity,
+    mutually exclusive with ``cluster_by_key``) clusters by a Morton
+    curve over two dimensions instead of one sort order — string dims are
+    range-ranked against sampled boundaries, numeric dims (including the
+    ``_offset`` / ``_commit_seq`` system columns) min-max scaled from the
+    manifest stats — so BOTH per-file stat ranges come out narrow and a
+    combined predicate (e.g. ``scan(repos=[r], offset_range=w)``) prunes
+    multiplicatively through the unchanged S22/S22' machinery
+    (functions/zorder.py for the expression shapes; everything stays in
+    codegen, the boundary collect is metadata-scale)."""
+    if cluster_by_key and zorder_by is not None:
+        raise ValueError("pass cluster_by_key or zorder_by, not both")
     if table.migration() is not None:
         # bucket ids are ambiguous across the two live layout generations;
         # the rebucket step already LWW-compacts what it rewrites
@@ -884,6 +898,39 @@ def compact(
         resolved = pinned.repartitionByRange(
             target_parts, "__bucket", *key_names
         ).sortWithinPartitions("__bucket", *key_names)
+    elif zorder_by is not None:
+        from glad_tiles_pipeline_spark.functions.zorder import (
+            interleave_bits,
+            numeric_rank,
+            string_boundaries,
+            string_rank,
+        )
+
+        pinned = resolved.persist()  # feeds boundary/min-max passes, the
+        # range partitioner's sample pass AND the write
+        ranks = []
+        for dim in zorder_by:
+            dtype = dict(pinned.dtypes).get(dim)
+            if dtype is None:
+                raise ValueError(f"zorder_by: no such column {dim!r}")
+            if dtype == "string":
+                ranks.append(
+                    string_rank(F.col(dim), string_boundaries(pinned, dim))
+                )
+            else:
+                row = pinned.agg(
+                    F.min(dim).alias("lo"), F.max(dim).alias("hi")
+                ).collect()[0]
+                ranks.append(
+                    numeric_rank(F.col(dim), row["lo"] or 0, row["hi"] or 0)
+                )
+        z = interleave_bits(ranks[0], ranks[1])
+        resolved = (
+            pinned.withColumn("__z", z)
+            .repartitionByRange(target_parts, "__bucket", "__z")
+            .sortWithinPartitions("__bucket", "__z")
+            .drop("__z")
+        )
 
     data_abs, data_rel = table.new_data_dir()
     writer = resolved.write
