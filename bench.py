@@ -60,6 +60,7 @@ HEADLINE_QUERIES = [
     "dedup_embedding_incremental",
     "merge_into_upsert",
     "text_search_terms",
+    "text_search_bm25",
     "text_quality_score",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

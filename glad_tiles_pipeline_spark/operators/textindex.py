@@ -110,8 +110,12 @@ def posting_events(
         .groupBy("__id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # the sentinel's tf slot carries the DOC LENGTH (token count) — free
+    # at write time, and exactly the per-doc state BM25 ranking needs
     sent = base.select(
-        "__id", F.lit(DOC_SENTINEL).alias("term"), F.lit(None).cast("long").alias("tf")
+        "__id",
+        F.lit(DOC_SENTINEL).alias("term"),
+        F.size(_tokens(F.col("__text"))).cast("long").alias("tf"),
     )
     ev = posts.unionByName(sent, allowMissingColumns=False).select(
         "__id", "term", "tf", F.lit("U").alias("op")
@@ -162,6 +166,7 @@ def _live_sentinels(spark: SparkSession, index: LakeTable,
         F.col("doc_id"),
         F.col("doc_seq").alias("__cur"),
         F.col("doc_off").alias("__cur_off"),
+        F.col("tf").alias("__dl"),  # doc length (see posting_events)
     )
 
 
@@ -205,6 +210,60 @@ def search_terms(
     )
 
 
+def search_ranked(
+    spark: SparkSession,
+    index: LakeTable,
+    terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """BM25-ranked retrieval over the index: top-``k`` documents for a
+    term set, (doc_id, score, total_tf).  Every ranking input already
+    lives in the index — tf per live posting, doc length in the sentinel
+    row, N/avgdl one slim agg over the sentinels, df an output-sized agg
+    over the query's own postings — so ranking reads the SAME pruned
+    files as the boolean search plus zero corpus IO.
+
+    Determinism: the score is rounded to 6 decimals and ties break by
+    doc_id, so ranking and the top-k cut are engine-independent (the
+    DuckDB oracle recomputes the whole formula from the live corpus)."""
+    live = _live_postings(spark, index, terms, snapshot_id)
+    sent = _live_sentinels(spark, index, snapshot_id)
+    stats = sent.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    dfreq = live.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    w = idf * tf * F.lit(k1 + 1.0) / norm
+    scored = (
+        live.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__w", w)
+    )
+    docs = scored.groupBy("doc_id").agg(
+        F.round(F.sum("__w"), 6).alias("score"),
+        F.sum("tf").alias("total_tf"),
+    )
+    return (
+        docs.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "score", "total_tf")
+    )
+
+
 def posting_events_from_changelog(events: DataFrame) -> DataFrame:
     """Project a CDC changelog (micro-)batch onto the token-index
     changelog — the X12 twin of
@@ -239,7 +298,8 @@ def posting_events_from_changelog(events: DataFrame) -> DataFrame:
     sent = live.select(
         "offset", "commit_seq", "__doc",
         F.lit(DOC_SENTINEL).alias("term"),
-        F.lit(None).cast("long").alias("tf"),
+        # doc length in the sentinel tf slot, like the batch spelling
+        F.size(_tokens(F.col("content"))).cast("long").alias("tf"),
     )
     ev_u = posts.unionByName(sent).withColumn("op", F.lit("U"))
     dead = rows.filter(

@@ -1110,6 +1110,24 @@ def q_text_search_terms(spark, sf_dir):
     )
 
 
+def q_text_search_bm25(spark, sf_dir):
+    """BM25-ranked retrieval over the same incrementally-maintained
+    inverted index (operators/textindex.py::search_ranked): every
+    ranking input lives IN the index (tf per posting, doc length on the
+    version sentinel, N/avgdl one slim sentinel agg, df an output-sized
+    agg over the query's own postings) — ranking costs the boolean
+    search plus zero corpus IO.  Deterministic across engines: score
+    rounded to 6 decimals, ties break by doc_id.  Oracle: DuckDB
+    recomputes the full BM25 formula (k1=1.2, b=0.75) from the live
+    corpus text."""
+    from glad_tiles_pipeline_spark.operators.textindex import search_ranked
+
+    return search_ranked(
+        spark, _tok_index_for(spark, sf_dir), ["merge", "spark", "vector"],
+        k=25,
+    )
+
+
 def q_merge_into_upsert(spark, sf_dir):
     """Declarative MERGE INTO (operators/merge_into.py) compiled onto the
     exactly-once CDC apply path: documents with doc_id % 3 != 0 seed a
@@ -1879,6 +1897,37 @@ _ALL_ORACLES: dict[str, str] = {
         SELECT term, doc_id, count(*) AS tf
         FROM toks WHERE term IN ('merge', 'spark', 'vector')
         GROUP BY term, doc_id""",
+    # full BM25 recompute from the live corpus (same live/tokenize CTEs as
+    # text_search_terms; k1=1.2, b=0.75; score rounded to 6, ties by doc_id)
+    "text_search_bm25": """
+        WITH live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' spark extra'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 5),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM live),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term IN ('merge', 'spark', 'vector') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        w AS (
+            SELECT tf.doc_id, tf.tf,
+                   ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats),
+        ds AS (
+            SELECT doc_id, round(sum(w), 6) AS score,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM w GROUP BY 1)
+        SELECT doc_id, score, total_tf FROM ds
+        ORDER BY score DESC, doc_id LIMIT 25""",
     # the same MERGE recomputed declaratively: matched rows delete when
     # n_chars % 7 = 0 (clause precedence), update when % 3 <> 1 (else
     # untouched), source-only rows insert when % 5 <> 2
@@ -2031,6 +2080,7 @@ EXTRA_QUERIES = {
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "merge_into_upsert": q_merge_into_upsert,
     "text_search_terms": q_text_search_terms,
+    "text_search_bm25": q_text_search_bm25,
     "sample_stratified_quota": q_sample_stratified,
     "sample_hash_bernoulli": q_sample_hash,
 }

@@ -155,6 +155,39 @@ def test_gc_tombstone_loses_to_same_seq_reingest(spark, tmp_path):
     assert ("merge", 1, 1) in _search(spark, idx, {"merge"})
 
 
+def test_search_ranked_bm25(spark, tmp_path):
+    """BM25 ranking over the index equals a NumPy recompute from the live
+    corpus — doc lengths come from the version sentinels, so staleness
+    (the re-ingested doc 1) is already arbitrated before scoring."""
+    import math
+
+    idx = _build(spark, tmp_path)
+    from glad_tiles_pipeline_spark.operators.textindex import search_ranked
+
+    terms = ["spark", "merge", "batch"]
+    got = [(r["doc_id"], r["score"], r["total_tf"])
+           for r in search_ranked(spark, idx, terms, k=10).collect()]
+
+    # reference BM25 over LIVE (post-update, post-delete) docs
+    dls = {d: len(t.split()) for d, t in LIVE.items()}
+    n, avgdl = len(dls), sum(dls.values()) / len(dls)
+    tfs = {(d, w): t.split().count(w)
+           for d, t in LIVE.items() for w in set(t.split()) if w in terms}
+    dfs = {w: sum(1 for (d, ww) in tfs if ww == w) for w in terms}
+    scores = {}
+    for (d, w), tf in tfs.items():
+        idf = math.log((n - dfs[w] + 0.5) / (dfs[w] + 0.5) + 1.0)
+        scores.setdefault(d, [0.0, 0])
+        scores[d][0] += idf * tf * 2.2 / (
+            tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+        scores[d][1] += tf
+    want = sorted(
+        ((d, round(s, 6), t) for d, (s, t) in scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+
+
 def test_tokenizer_matches_oracle_regex(spark):
     """The Spark tokenizer and the DuckDB oracle share TOKEN_RE verbatim;
     sanity-check the Spark spelling on mixed punctuation/case."""
