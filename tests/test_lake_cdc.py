@@ -217,3 +217,39 @@ def test_feed_projects_evolved_schema(spark, tmp_path):
     assert "stars" in feed.columns
     assert feed.filter(F.col("stars").isNotNull()).count() == 0
     assert feed.count() > 0
+
+
+def test_feed_over_generic_derived_index_table(spark, tmp_path):
+    """The change feed is schema-GENERIC: a derived token index (generic
+    (term, doc_id, tf, doc_seq, doc_off) schema, maintained through the
+    same MERGE path) serves its own lake_cdc feed, and window-LWW over
+    the feed reproduces the index's resolved state — a downstream of a
+    downstream, closing the table-to-table loop for derived tables."""
+    from pyspark.sql import Row
+
+    from glad_tiles_pipeline_spark.operators.textindex import (
+        create_token_index,
+        update_token_index,
+    )
+
+    idx = create_token_index(str(tmp_path / "tok"), n_buckets=4)
+    d1 = spark.createDataFrame([(1, "a b"), (2, "b c")], ["doc_id", "text"])
+    d2 = spark.createDataFrame([(1, "c d")], ["doc_id", "text"])
+    update_token_index(spark, idx, d1, "b1", 1)
+    update_token_index(spark, idx, d2, "b2", 2,
+                       deletes=spark.createDataFrame([Row(doc_id=2)]))
+
+    feed = (
+        spark.read.format("lake_cdc").option("path", idx.root).load()
+    )
+    collapsed = lww_dedup(
+        feed.drop("_snapshot_id"),
+        key=["term", "doc_id"],
+        strategy="argmax",
+        order=["_commit_seq", "_offset"],
+    ).filter(~F.col("_deleted"))
+    cols = ["term", "doc_id", "tf", "doc_seq", "doc_off"]
+    a = collapsed.select(*cols)
+    b = idx.scan(spark).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.count() > 0
