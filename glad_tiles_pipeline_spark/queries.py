@@ -1189,6 +1189,96 @@ def q_merge_into_upsert(spark, sf_dir):
     return table.scan(spark).select("corpus", "doc_id", "langid", "n_chars")
 
 
+def q_matview_repo_stats(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate view
+    (operators/matview.py, X13): per-group (repo) aggregates served from a
+    lake table refreshed by PRUNED GROUP RECOMPUTE through the same
+    post_apply seam as the signature/token indexes — each batch recomputes
+    only the groups it touched, from a key-1 stats-pruned scan.  Three
+    generations exercise the interesting states: a seed, a re-ingest that
+    changes content plus deletes, and a delete-everything batch that must
+    TOMBSTONE its group out of the view.  Oracle: DuckDB recomputes the
+    aggregates from the final live corpus state — the definitional GROUP
+    BY the view must equal.  Payload columns are named ``langid``/``body``
+    (not the CDC schema's ``lang``/``content``) so the engine's lang
+    normalization and sha derivation stay out of the comparison."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.matview import (
+        create_matview,
+        matview_hook,
+        read_matview,
+    )
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+
+    docs = _t(spark, sf_dir, "documents")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("langid", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ])
+    root = tempfile.mkdtemp(prefix="matview_")
+    table = LakeTable.create(root + "/t", schema=schema, n_buckets=8)
+    view = create_matview(
+        root + "/mv",
+        [("n_paths", T.LongType()), ("total_chars", T.LongType()),
+         ("n_langs", T.LongType())],
+        n_buckets=4,
+    )
+    aggs = {
+        "n_paths": F.count("*"),
+        "total_chars": F.sum(F.length("body")),
+        "n_langs": F.countDistinct("langid"),
+    }
+    hook = matview_hook(spark, table, view, aggs)
+
+    def _ev(df, seq, op, off_base, body_col):
+        return df.select(
+            (F.lit(off_base) + F.col("doc_id")).cast("long").alias("offset"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            F.lit(op).alias("op"),
+            F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string")).alias(
+                "repo"
+            ),
+            F.format_string("%012d", F.col("doc_id")).alias("path"),
+            F.col("lang").alias("langid"),
+            body_col.alias("body"),
+            F.lit(None).cast("string").alias("control"),
+        )
+
+    gens = [
+        # seed: every document
+        _ev(docs, 1, "U", 0, F.col("text")),
+        # re-ingest %10==0 (content changes) + delete %13==5 — disjoint
+        # sets, so no same-seq LWW tie
+        _ev(
+            docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 13 != 5)),
+            2, "U", 10**9, F.concat(F.col("text"), F.lit(" extra")),
+        ).unionByName(
+            _ev(docs.filter(F.col("doc_id") % 13 == 5), 2, "D", 10**9,
+                F.lit(None).cast("string"))
+        ),
+        # kill group r3 entirely: the view must tombstone it
+        _ev(docs.filter(F.col("doc_id") % 7 == 3), 3, "D", 2 * 10**9,
+            F.lit(None).cast("string")),
+    ]
+    for i, ev in enumerate(gens):
+        hi = ev.agg(F.max("offset")).collect()[0][0]
+        offsets = {"lo": i * 10**9, "hi": hi}
+        apply_batch(spark, table, ev, f"mv-gen{i}", offsets=offsets,
+                    use_arrow_udfs=False)
+        hook(ev, f"gen{i}", offsets)
+    return (
+        read_matview(spark, view)
+        .select("grp", "n_paths", "total_chars", "n_langs")
+        .orderBy("grp")
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Banded-LSH candidates + exact-cosine verify; threshold 0.45 sits just
     inside the fixtures' similarity range (14 pairs at sf0.01) so the oracle
@@ -1928,6 +2018,24 @@ _ALL_ORACLES: dict[str, str] = {
             FROM w GROUP BY 1)
         SELECT doc_id, score, total_tf FROM ds
         ORDER BY score DESC, doc_id LIMIT 25""",
+    # definitional recompute of the materialized view: the final live
+    # corpus state (post re-ingest of %10==0 docs with ' extra' appended,
+    # post delete of %13==5 docs and of the whole %7==3 group) aggregated
+    # by group — the view maintained by pruned group recompute must equal
+    # this full GROUP BY, including the ABSENCE of the tombstoned group
+    "matview_repo_stats": """
+        WITH live AS (
+            SELECT 'r' || CAST(doc_id % 7 AS VARCHAR) AS grp,
+                   lang AS langid,
+                   text || CASE WHEN doc_id % 10 = 0 THEN ' extra'
+                                ELSE '' END AS body
+            FROM documents
+            WHERE doc_id % 13 <> 5 AND doc_id % 7 <> 3)
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(sum(length(body)) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT langid) AS BIGINT) AS n_langs
+        FROM live GROUP BY grp ORDER BY grp""",
     # the same MERGE recomputed declaratively: matched rows delete when
     # n_chars % 7 = 0 (clause precedence), update when % 3 <> 1 (else
     # untouched), source-only rows insert when % 5 <> 2
@@ -2079,6 +2187,7 @@ EXTRA_QUERIES = {
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "merge_into_upsert": q_merge_into_upsert,
+    "matview_repo_stats": q_matview_repo_stats,
     "text_search_terms": q_text_search_terms,
     "text_search_bm25": q_text_search_bm25,
     "sample_stratified_quota": q_sample_stratified,
