@@ -1,0 +1,92 @@
+"""Declarative CHECK constraints with replay-safe quarantine (X14) —
+Delta constraint / DLT-expectation parity for the ingest path.
+
+A 100 TB CDC stream WILL carry malformed events (truncated content,
+impossible paths, enum drift).  Failing the whole batch poisons the
+pipeline; silently applying them poisons the table.  The production
+answer is Delta Live Tables' expectations: declare named boolean
+predicates, apply the rows that pass, QUARANTINE the rows that don't —
+per batch, exactly-once, auditable.
+
+Semantics (SQL/Delta CHECK):
+
+  * a constraint is violated only when its expression evaluates to
+    FALSE — NULL passes (``coalesce(expr, true)``), so a constraint on
+    an optional column doesn't reject rows that legitimately omit it;
+  * control events (schema evolution) always pass — their payload
+    columns are NULL by design;
+  * a quarantined row records EVERY constraint it violated (sorted
+    array of names), not just the first — the audit trail operators
+    actually debug from.
+
+Exactly-once: the quarantine sink is keyed by the batch id and written
+with ``mode("overwrite")`` (the T7 late-data pattern,
+streaming/bridge.py): a replayed window re-derives the identical split
+from the identical events and rewrites the same files — no appended
+duplicates, and the main MERGE's own fencing covers the applied side.
+Offset accounting: quarantined offsets stay covered by the window's
+``(lo, hi)`` — they are consumed-and-diverted, never re-fed, so the
+planner's resume point and the derived-index catch-up are unaffected.
+
+Everything is pure column expressions over the batch — one extra
+projection and an output-sized quarantine write; the applied-side plan
+is unchanged but for one codegen filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def violations_col(constraints: "dict[str, str]"):
+    """Sorted array of the names of every violated constraint — empty
+    array when the row passes.  NULL predicate results pass (SQL CHECK);
+    control events pass unconditionally."""
+    flags = [
+        F.when(
+            F.col("control").isNull() & ~F.coalesce(F.expr(expr), F.lit(True)),
+            F.lit(name),
+        )
+        for name, expr in sorted(constraints.items())
+    ]
+    return F.array_compact(F.array(*flags))
+
+
+def split_by_constraints(
+    events: DataFrame, constraints: "dict[str, str]"
+) -> "tuple[DataFrame, DataFrame]":
+    """``(passing, quarantined)``: quarantined rows carry a
+    ``violations: array<string>`` column naming every failed constraint;
+    passing rows come back with the input schema unchanged."""
+    tagged = events.withColumn("violations", violations_col(constraints))
+    ok = tagged.filter(F.size("violations") == 0).drop("violations")
+    bad = tagged.filter(F.size("violations") > 0)
+    return ok, bad
+
+
+def quarantine_batch(
+    bad: DataFrame, quarantine_dir: str, batch_id: str
+) -> int:
+    """Write one batch's quarantined rows, replay-safe: the path is keyed
+    by the batch id and overwritten, so a replayed window rewrites the
+    same content instead of appending duplicates.  Returns the row count
+    (0 rows → no directory, keeping empty batches free)."""
+    n = bad.count()
+    if n:
+        bad.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"batch={batch_id}")
+        )
+    return n
+
+
+def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
+    """All quarantined events across batches (empty-dir tolerant)."""
+    try:
+        return spark.read.option("basePath", quarantine_dir).parquet(
+            os.path.join(quarantine_dir, "batch=*")
+        )
+    except Exception:
+        return spark.createDataFrame([], "offset long, violations array<string>")

@@ -40,6 +40,8 @@ def ingest_changelog(
     max_batches: int | None = None,
     compact_every: int | None = None,
     post_apply=None,
+    constraints: dict | None = None,
+    quarantine_dir: str | None = None,
     **apply_kwargs,
 ) -> list[dict]:
     """Tail the changelog to the end (or ``max_batches``), one fenced MERGE
@@ -49,6 +51,15 @@ def ingest_changelog(
     deltas after every k batches — the write-amplification knob: ingest
     stays O(batch) per commit, readers pay resolution only between
     compactions.
+
+    ``constraints`` (name → SQL boolean expr, X14): rows violating any
+    constraint are diverted to ``quarantine_dir`` (required alongside —
+    dropping violators silently is not offered) BEFORE the MERGE and
+    before ``post_apply``, so neither the table nor any derived index
+    ever sees them; the quarantine write is keyed by batch id and
+    overwritten, hence replay-safe (operators/constraints.py).  The
+    window still covers the quarantined offsets — consumed-and-diverted,
+    never re-fed.
 
     ``post_apply(events, batch_id, offsets)`` mirrors the T6 bridge hook
     (streaming/bridge.py): a derived sink riding the same batch window
@@ -60,6 +71,11 @@ def ingest_changelog(
     run, which closes exactly that gap from the derived table's own
     offset high-water.
     """
+    if constraints is not None and quarantine_dir is None:
+        raise ValueError(
+            "constraints require a quarantine_dir: silently dropping "
+            "violating events is not offered (X14 audit contract)"
+        )
     results = []
     hi_available = max_offset(spark, changelog_dir)
     n = 0
@@ -69,6 +85,17 @@ def ingest_changelog(
             break
         hi = min(lo + batch_size - 1, hi_available)
         events = read_changelog_batch(spark, changelog_dir, lo - 1, hi)
+        n_quarantined = 0
+        if constraints is not None:
+            from glad_tiles_pipeline_spark.operators.constraints import (
+                quarantine_batch,
+                split_by_constraints,
+            )
+
+            events, bad = split_by_constraints(events, constraints)
+            n_quarantined = quarantine_batch(
+                bad, quarantine_dir, batch_id_for(lo, hi)
+            )
         try:
             res = apply_batch(
                 spark,
@@ -83,6 +110,8 @@ def ingest_changelog(
             # against the new table state (the loop re-reads the committed
             # offset); our unpublished data files are orphans for vacuum
             continue
+        if constraints is not None:
+            res["quarantined"] = n_quarantined
         if post_apply is not None:
             res["post"] = post_apply(
                 events, batch_id_for(lo, hi), {"lo": lo, "hi": hi}

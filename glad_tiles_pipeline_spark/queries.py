@@ -1279,6 +1279,41 @@ def q_matview_repo_stats(spark, sf_dir):
     )
 
 
+def q_constraints_quarantine(spark, sf_dir):
+    """Declarative CHECK constraints (operators/constraints.py, X14 — the
+    DLT-expectation parity surface): events violating any named predicate
+    are diverted to a replay-safe quarantine instead of poisoning the
+    MERGE.  This query runs the SPLIT itself (the SQL-expressible core —
+    the ingest/stream integration and replay-overwrite contract are
+    pytest-verified in tests/test_constraints.py) and returns the
+    violators with the sorted list of every constraint each one failed.
+    NULL predicate results pass (SQL CHECK) and a delete's NULL content
+    must not trip the length check — both exercised by the fixture."""
+    from glad_tiles_pipeline_spark.operators.constraints import (
+        split_by_constraints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    events = docs.select(
+        F.col("doc_id").cast("long").alias("offset"),
+        F.when(F.col("doc_id") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.lit("docs").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.when(F.col("doc_id") % 10 != 0, F.col("text")).alias("content"),
+        F.lit(None).cast("string").alias("control"),
+    )
+    constraints = {
+        "short_enough": "length(content) <= 306",
+        "no_lucky_docs": "offset % 13 <> 5",
+        "delete_has_no_content": "op <> 'D' OR content IS NULL",
+    }
+    _, bad = split_by_constraints(events, constraints)
+    return bad.select(
+        "offset", "op",
+        F.concat_ws(",", F.col("violations")).alias("violations"),
+    ).orderBy("offset")
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Banded-LSH candidates + exact-cosine verify; threshold 0.45 sits just
     inside the fixtures' similarity range (14 pairs at sf0.01) so the oracle
@@ -2018,6 +2053,31 @@ _ALL_ORACLES: dict[str, str] = {
             FROM w GROUP BY 1)
         SELECT doc_id, score, total_tf FROM ds
         ORDER BY score DESC, doc_id LIMIT 25""",
+    # definitional recompute of the CHECK-constraint split: violators =
+    # rows where any predicate is FALSE (NULL passes — note deletes carry
+    # NULL content, so length() is NULL there and short_enough passes);
+    # each violator lists every failed constraint, sorted by name
+    "constraints_quarantine": """
+        WITH ev AS (
+            SELECT CAST(doc_id AS BIGINT) AS "offset",
+                   CASE WHEN doc_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   CASE WHEN doc_id % 10 <> 0 THEN text END AS content
+            FROM documents),
+        flagged AS (
+            SELECT "offset", op,
+                   list_aggregate(list_filter([
+                       CASE WHEN NOT coalesce(op <> 'D' OR content IS NULL,
+                                              TRUE)
+                            THEN 'delete_has_no_content' END,
+                       CASE WHEN NOT coalesce("offset" % 13 <> 5, TRUE)
+                            THEN 'no_lucky_docs' END,
+                       CASE WHEN NOT coalesce(length(content) <= 306, TRUE)
+                            THEN 'short_enough' END
+                   ], x -> x IS NOT NULL), 'string_agg', ',') AS violations
+            FROM ev)
+        SELECT "offset", op, violations FROM flagged
+        WHERE violations IS NOT NULL AND violations <> ''
+        ORDER BY "offset" """,
     # definitional recompute of the materialized view: the final live
     # corpus state (post re-ingest of %10==0 docs with ' extra' appended,
     # post delete of %13==5 docs and of the whole %7==3 group) aggregated
@@ -2188,6 +2248,7 @@ EXTRA_QUERIES = {
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "merge_into_upsert": q_merge_into_upsert,
     "matview_repo_stats": q_matview_repo_stats,
+    "constraints_quarantine": q_constraints_quarantine,
     "text_search_terms": q_text_search_terms,
     "text_search_bm25": q_text_search_bm25,
     "sample_stratified_quota": q_sample_stratified,

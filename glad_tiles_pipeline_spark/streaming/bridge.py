@@ -74,6 +74,8 @@ def stream_ingest(
     late_threshold: str | None = None,
     await_termination: bool = True,
     post_apply=None,
+    constraints: dict | None = None,
+    check_quarantine_dir: str | None = None,
     **apply_kwargs,
 ) -> list[dict]:
     """Drain the changelog into the lake table via foreachBatch (T6).
@@ -94,7 +96,8 @@ def stream_ingest(
     results: list[dict] = []
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
-        post_apply=post_apply,
+        post_apply=post_apply, constraints=constraints,
+        check_quarantine_dir=check_quarantine_dir,
     )
 
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
@@ -145,6 +148,8 @@ def stream_ingest_continuous(
     quarantine_dir: str | None = None,
     late_threshold: str | None = None,
     post_apply=None,
+    constraints: dict | None = None,
+    check_quarantine_dir: str | None = None,
     **apply_kwargs,
 ):
     """The production loop: the SAME query as ``stream_ingest`` under a
@@ -161,7 +166,8 @@ def stream_ingest_continuous(
     results: list[dict] = []
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
-        post_apply=post_apply,
+        post_apply=post_apply, constraints=constraints,
+        check_quarantine_dir=check_quarantine_dir,
     )
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
     events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
@@ -182,7 +188,15 @@ def _make_foreach_batch(
     late_threshold: str | None,
     apply_kwargs: dict,
     post_apply=None,
+    constraints: dict | None = None,
+    check_quarantine_dir: str | None = None,
 ):
+    if constraints is not None and check_quarantine_dir is None:
+        raise ValueError(
+            "constraints require a check_quarantine_dir: silently dropping "
+            "violating events is not offered (X14 audit contract)"
+        )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
         # One slim job pins the batch's identity + offsets (column-pruned
@@ -212,11 +226,28 @@ def _make_foreach_batch(
                     os.path.join(quarantine_dir, f"batch={content_batch_id}")
                 )
             df = df.filter(F.col("ts") >= cut)
+        n_checked_out = 0
+        if constraints is not None:
+            # X14 CHECK constraints, same replay-safe overwrite contract as
+            # the late-data quarantine above but its OWN directory (the two
+            # schemas differ: violators carry a `violations` array).  Runs
+            # after the late cut — a row both late and invalid is late.
+            from glad_tiles_pipeline_spark.operators.constraints import (
+                quarantine_batch,
+                split_by_constraints,
+            )
+
+            df, bad = split_by_constraints(df, constraints)
+            n_checked_out = quarantine_batch(
+                bad, check_quarantine_dir, content_batch_id
+            )
         res = apply_batch(
             spark, table, df, batch_id=content_batch_id,
             offsets=offsets, **apply_kwargs,
         )
         res["quarantined"] = n_late
+        if constraints is not None:
+            res["check_quarantined"] = n_checked_out
         if post_apply is not None:
             # Derived sinks riding the SAME micro-batch (e.g. the dedup
             # signature index, streaming/dedup_index.py).  Runs after the

@@ -118,6 +118,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "ingest — same hook seam, fencing and catch-up "
                         "story as --signature-index; composable with it "
                         "(each derived sink fences its own batch-id space)")
+    p.add_argument("--expect", action="append", default=None,
+                   metavar="NAME=SQL_EXPR",
+                   help="CHECK constraint (repeatable): rows where the SQL "
+                        "boolean expr is FALSE are quarantined instead of "
+                        "applied (NULL passes; control events always pass). "
+                        "Requires --quarantine-dir")
+    p.add_argument("--quarantine-dir", default=None,
+                   help="where --expect violators land, one overwritten "
+                        "parquet dir per batch id (replay-safe)")
     p.add_argument("--master", default=None,
                    help="override master (tests); production uses spark-submit --master")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -291,6 +300,18 @@ def main(argv: list[str] | None = None) -> int:
             # between them (same argument as table-vs-index)
             return {"sinks": [h(df, batch_id, offsets) for h in _hooks]}
 
+    constraints = None
+    if args.expect:
+        constraints = {}
+        for spec in args.expect:
+            name, sep, expr = spec.partition("=")
+            if not sep or not name or not expr:
+                raise SystemExit(f"--expect needs NAME=SQL_EXPR, got {spec!r}")
+            constraints[name] = expr
+        if args.quarantine_dir is None:
+            raise SystemExit("--expect requires --quarantine-dir (violators "
+                             "are never silently dropped)")
+
     if args.mode == "batch":
         results = ingest_changelog(
             spark,
@@ -303,6 +324,8 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every,
             use_arrow_udfs=args.use_arrow_udfs,
             post_apply=sig_hook,
+            constraints=constraints,
+            quarantine_dir=args.quarantine_dir,
         )
     else:
         from glad_tiles_pipeline_spark.streaming import stream_ingest
@@ -318,6 +341,8 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=args.merge_mode,
             use_arrow_udfs=args.use_arrow_udfs,
             post_apply=sig_hook,
+            constraints=constraints,
+            check_quarantine_dir=args.quarantine_dir,
         )
 
     if args.compact_after:
@@ -352,6 +377,11 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot_id": table.current_snapshot_id(),
         "last_committed_offset": table.last_committed_offset(),
     }
+    if constraints is not None:
+        summary["quarantined"] = sum(
+            r.get("quarantined", 0) + r.get("check_quarantined", 0)
+            for r in applied
+        )
     if vacuumed is not None:
         summary["vacuum"] = vacuumed
     if sig_index is not None:

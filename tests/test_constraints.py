@@ -1,0 +1,155 @@
+"""Declarative CHECK constraints + quarantine (operators/constraints.py, X14).
+
+Contract under test: a constrained ingest applies exactly the passing
+rows (table state == unconstrained ingest of the pre-filtered log) and
+quarantines exactly the violators with the full list of violated
+constraint names; NULL predicate results and control events pass (SQL
+CHECK semantics); the quarantine is replay-safe (re-running rewrites,
+never appends); the stream twin matches the batch twin; derived sinks
+(post_apply) never see a quarantined row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glad_tiles_pipeline_spark.operators.constraints import (
+    read_quarantine,
+    split_by_constraints,
+)
+from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.plans.oracle import oracle_state_df
+from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+from glad_tiles_pipeline_spark.sources.generator import change_log
+from glad_tiles_pipeline_spark.streaming.bridge import stream_ingest
+
+N = 4000
+
+# generator paths look like src/dirNN/fileNNNN.py, so ~10% of events hit
+# the "forbidden" file-number predicate; the second constraint holds by
+# generator construction (deletes carry NULL content) -> never fires
+CONSTRAINTS = {
+    "no_lucky_paths": "path NOT LIKE '%7.py'",
+    "delete_has_no_content": "op <> 'D' OR content IS NULL",
+}
+
+
+def _log(spark, tmp_path, name="log"):
+    d = str(tmp_path / name)
+    change_log(spark, N).write.parquet(d)
+    return d
+
+
+def test_split_semantics(spark):
+    rows = [
+        # (offset, op, path, content, control) -> expectation
+        (1, "U", "a/ok.py", "x", None),       # passes
+        (2, "U", "a/bad7.py", "x", None),     # violates no_lucky_paths
+        (3, "D", "a/ok.py", None, None),      # passes (content NULL)
+        (4, "U", None, "x", None),            # NULL path -> predicate NULL -> passes
+        (5, "U", "b7.py", None, "{}"),        # control event: always passes
+    ]
+    df = spark.createDataFrame(
+        rows, "offset long, op string, path string, content string, control string"
+    )
+    ok, bad = split_by_constraints(df, CONSTRAINTS)
+    assert {r["offset"] for r in ok.collect()} == {1, 3, 4, 5}
+    got_bad = {r["offset"]: r["violations"] for r in bad.collect()}
+    assert got_bad == {2: ["no_lucky_paths"]}
+    # multi-violation rows report every name, sorted
+    df2 = spark.createDataFrame(
+        [(9, "D", "x7.py", "boom", None)],
+        "offset long, op string, path string, content string, control string",
+    )
+    _, bad2 = split_by_constraints(df2, CONSTRAINTS)
+    assert bad2.collect()[0]["violations"] == [
+        "delete_has_no_content", "no_lucky_paths",
+    ]
+
+
+def test_constrained_ingest_equals_prefiltered_oracle(spark, tmp_path):
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    results = ingest_changelog(
+        spark, table, log_dir, batch_size=1000,
+        constraints=CONSTRAINTS, quarantine_dir=qdir,
+    )
+    events = spark.read.parquet(log_dir)
+    ok, bad = split_by_constraints(events, CONSTRAINTS)
+    n_bad = bad.count()
+    assert n_bad > 0  # the fixture must exercise the quarantine
+    assert sum(r["quarantined"] for r in results) == n_bad
+
+    got = table.scan(spark)
+    want = oracle_state_df(spark, ok)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # quarantine holds exactly the violators (across batches)
+    q = read_quarantine(spark, qdir)
+    assert q.count() == n_bad
+    assert set(q.select("offset").toPandas()["offset"]) == {
+        r["offset"] for r in bad.select("offset").collect()
+    }
+    # offsets were consumed-and-diverted: the planner reached the end
+    assert table.last_committed_offset() == N - 1
+
+
+def test_quarantine_replay_overwrites_not_appends(spark, tmp_path):
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, table, log_dir, batch_size=1000,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir)
+    n1 = read_quarantine(spark, qdir).count()
+    # a fresh table replays the same windows -> same quarantine content
+    table2 = LakeTable.create(str(tmp_path / "t2"), n_buckets=8)
+    ingest_changelog(spark, table2, log_dir, batch_size=1000,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir)
+    assert read_quarantine(spark, qdir).count() == n1
+
+
+def test_constraints_require_quarantine_dir(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    with pytest.raises(ValueError, match="quarantine_dir"):
+        ingest_changelog(spark, table, str(tmp_path), constraints=CONSTRAINTS)
+
+
+def test_stream_twin_matches_batch_and_hook_sees_only_passing(spark, tmp_path):
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "q_stream")
+    t_stream = LakeTable.create(str(tmp_path / "ts"), n_buckets=8)
+    seen: list[int] = []
+
+    def probe_hook(df, batch_id, offsets):
+        ok, bad = split_by_constraints(df, CONSTRAINTS)
+        seen.append(bad.count())
+        return None
+
+    results = stream_ingest(
+        spark, t_stream, log_dir, str(tmp_path / "ckpt"),
+        constraints=CONSTRAINTS, check_quarantine_dir=qdir,
+        post_apply=probe_hook,
+    )
+    assert sum(r["check_quarantined"] for r in results) > 0
+    assert all(n == 0 for n in seen)  # the hook never saw a violator
+
+    t_batch = LakeTable.create(str(tmp_path / "tb"), n_buckets=8)
+    ingest_changelog(spark, t_batch, log_dir, batch_size=N,
+                     constraints=CONSTRAINTS,
+                     quarantine_dir=str(tmp_path / "q_batch"))
+    a, b = t_stream.scan(spark), t_batch.scan(spark)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # both spellings quarantined the same offsets
+    qa = set(read_quarantine(spark, qdir).toPandas()["offset"])
+    qb = set(
+        read_quarantine(spark, str(tmp_path / "q_batch")).toPandas()["offset"]
+    )
+    assert qa == qb
+
+
+def test_read_quarantine_empty_dir(spark, tmp_path):
+    assert read_quarantine(spark, str(tmp_path / "nope")).count() == 0
