@@ -99,6 +99,7 @@ def mv_refresh_events(
     is ``scan(repos=groups)`` — pruned by the key-1 file stats, sound on
     delta-heavy snapshots (lake.py::scan) — and the only shuffle is the
     groups-sized aggregate."""
+    groups = sorted(set(groups))  # duplicate names would emit LWW-tied twins
     live = table.scan(spark, repos=groups)
     key1 = table.current_fields()[0]["name"]
     refreshed = live.groupBy(F.col(key1).alias("repo")).agg(

@@ -153,3 +153,21 @@ def test_stream_twin_matches_batch_and_hook_sees_only_passing(spark, tmp_path):
 
 def test_read_quarantine_empty_dir(spark, tmp_path):
     assert read_quarantine(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_window_with_all_events_quarantined_still_advances(spark, tmp_path):
+    """If every event in a window violates, the (empty) batch must still
+    commit and advance the offset high-water — otherwise the planner
+    would re-plan the same window forever."""
+    d = str(tmp_path / "log")
+    change_log(spark, 200).write.parquet(d)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    results = ingest_changelog(
+        spark, table, d, batch_size=50,
+        constraints={"nothing_passes": "1 = 0"},
+        quarantine_dir=str(tmp_path / "q"),
+    )
+    assert len(results) == 4  # terminated, four windows
+    assert table.last_committed_offset() == 199
+    assert table.scan(spark).count() == 0
+    assert read_quarantine(spark, str(tmp_path / "q")).count() == 200

@@ -195,3 +195,26 @@ def test_refresh_read_is_pruned_to_touched_groups(spark, tmp_path):
     assert got["U"]["path"] == MV_SENTINEL
     assert got["U"]["n_paths"] == want["n_paths"]
     assert got["U"]["total_chars"] == want["total_chars"]
+
+
+def test_streaming_ingest_maintains_view_and_respects_constraints(
+    spark, tmp_path
+):
+    """X13 composes with the T6 bridge like the other derived sinks: one
+    stream MERGEs each micro-batch into the table AND refreshes the view,
+    both exactly-once; with X14 constraints active, quarantined rows reach
+    NEITHER — the view recomputes from a table state that never saw them."""
+    from glad_tiles_pipeline_spark.streaming.bridge import stream_ingest
+
+    log_dir, table, view = _mk(spark, tmp_path)
+    hook = matview_hook(spark, table, view, _aggs())
+    constraints = {"no_lucky_paths": "path NOT LIKE '%7.py'"}
+    stream_ingest(
+        spark, table, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, post_apply=hook,
+        constraints=constraints,
+        check_quarantine_dir=str(tmp_path / "q"),
+    )
+    _assert_view_equals_recompute(spark, table, view)
+    # and the table state really excludes the violators
+    assert table.scan(spark).filter(F.col("path").like("%7.py")).count() == 0
