@@ -206,3 +206,81 @@ def test_long_haul_maintenance_cycles(spark, tmp_path):
     k = table.scan(spark).select("repo", "path").first()
     got = table.lookup(spark, k["repo"], k["path"])
     assert got.count() == 1 and len(got.inputFiles()) <= 2
+
+
+def test_long_haul_view_and_constraints_cycles(spark, tmp_path):
+    """Round-5 third wave composition: N cycles of CONSTRAINED ingest
+    (X14) with a materialized view (X13) riding post_apply, plus
+    policy-driven compaction and one WAP stage/publish cycle.  Staged
+    ingest must NOT touch the derived view (same rule as the CLI's
+    derived-index + --branch refusal); after publish the generic catch-up
+    brings the view current.  Asserted every cycle: table == replay
+    oracle of the PRE-FILTERED prefix, view == live GROUP BY recompute,
+    quarantine == the prefix's violators."""
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.constraints import (
+        read_quarantine,
+        split_by_constraints,
+    )
+    from glad_tiles_pipeline_spark.operators.matview import (
+        create_matview,
+        matview_hook,
+        read_matview,
+    )
+    from glad_tiles_pipeline_spark.streaming.dedup_index import (
+        catch_up_derived_index,
+    )
+
+    N3, B = 8000, 2000
+    log = str(tmp_path / "log")
+    change_log(spark, N3, late_denom=4, late_max_lag=3000).write.parquet(log)
+    events = spark.read.parquet(log)
+    constraints = {"no_lucky_paths": "path NOT LIKE '%7.py'"}
+    ok_all, bad_all = split_by_constraints(events, constraints)
+    qdir = str(tmp_path / "q")
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    aggs = {
+        "n_paths": F.count("*"),
+        "total_chars": F.sum(F.length("content")),
+    }
+    view = create_matview(
+        str(tmp_path / "mv"),
+        [("n_paths", T.LongType()), ("total_chars", T.LongType())],
+        n_buckets=4,
+    )
+    hook = matview_hook(spark, table, view, aggs)
+
+    for c in range(4):
+        if c == 2:
+            # WAP: staged batches skip the view hook; catch up post-publish
+            br = table.create_branch("wap")
+            ingest_changelog(spark, br, log, batch_size=B, merge_mode="mor",
+                             max_batches=1, constraints=constraints,
+                             quarantine_dir=qdir)
+            table.publish_branch("wap")
+            table.drop_branch("wap")
+            caught = catch_up_derived_index(spark, table, view, log, hook=hook)
+            assert caught is not None
+        else:
+            ingest_changelog(spark, table, log, batch_size=B,
+                             merge_mode="mor", max_batches=1,
+                             constraints=constraints, quarantine_dir=qdir,
+                             post_apply=hook)
+        todo = plan_compaction(table, max_delta_files=1, max_buckets=2)
+        if todo:
+            compact(spark, table, buckets=todo, target_file_rows=500)
+
+        prefix_ok = ok_all.filter(F.col("offset") < (c + 1) * B)
+        _eq(table.scan(spark), oracle_state_df(spark, prefix_ok))
+        want_view = (
+            table.scan(spark)
+            .groupBy(F.col("repo").alias("grp"))
+            .agg(*[col.alias(n) for n, col in aggs.items()])
+        )
+        _eq(read_matview(spark, view), want_view)
+        assert (
+            read_quarantine(spark, qdir).count()
+            == bad_all.filter(F.col("offset") < (c + 1) * B).count()
+        )
