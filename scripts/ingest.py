@@ -118,6 +118,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "ingest — same hook seam, fencing and catch-up "
                         "story as --signature-index; composable with it "
                         "(each derived sink fences its own batch-id space)")
+    p.add_argument("--matview", default=None,
+                   help="maintain a per-repo materialized aggregate view "
+                        "(lake table at this root, created if missing) from "
+                        "the same ingest — pruned group recompute through "
+                        "the same hook seam, fencing and catch-up story as "
+                        "the derived indexes; aggregates come from "
+                        "--matview-agg")
+    p.add_argument("--matview-agg", action="append", default=None,
+                   metavar="NAME=SQL_AGG_EXPR",
+                   help="aggregate column for --matview (repeatable), e.g. "
+                        "'n_paths=count(*)' or "
+                        "'total_chars=sum(length(content))'")
     p.add_argument("--expect", action="append", default=None,
                    metavar="NAME=SQL_EXPR",
                    help="CHECK constraint (repeatable): rows where the SQL "
@@ -232,7 +244,10 @@ def main(argv: list[str] | None = None) -> int:
 
     hooks = []
     sig_index = None
-    if args.signature_index is not None or args.token_index is not None:
+    if (args.matview is not None) != bool(args.matview_agg):
+        raise SystemExit("--matview and --matview-agg go together")
+    if (args.signature_index is not None or args.token_index is not None
+            or args.matview is not None):
         if args.branch is not None:
             # staged work may be audit-rejected; a shared index must never
             # hold signatures of content main readers can't see.  Publish
@@ -287,6 +302,40 @@ def main(argv: list[str] | None = None) -> int:
                 args.token_index, create_token_index,
                 token_index_hook, "token index",
             )
+            hooks.append(h)
+        if args.matview is not None:
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            from glad_tiles_pipeline_spark.operators.matview import (
+                create_matview,
+                matview_hook,
+            )
+
+            aggs = {}
+            for spec in args.matview_agg:
+                name, sep, expr = spec.partition("=")
+                if not sep or not name or not expr:
+                    raise SystemExit(
+                        f"--matview-agg needs NAME=SQL_AGG_EXPR, got {spec!r}"
+                    )
+                aggs[name] = F.expr(expr)
+
+            def _create_mv(root, n_buckets):
+                # aggregate types are dictated by the expressions at read
+                # time; longs cover the count/sum family — declare doubles
+                # explicitly by casting in the expression
+                return create_matview(
+                    root,
+                    [(n, T.LongType()) for n in aggs],
+                    n_buckets=min(n_buckets, 16),
+                )
+
+            def _mv_hook(spark_, idx):
+                return matview_hook(spark_, table, idx, aggs)
+
+            _, h = _derived(args.matview, _create_mv, _mv_hook,
+                            "materialized view")
             hooks.append(h)
 
     if not hooks:

