@@ -90,3 +90,65 @@ def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
         )
     except Exception:
         return spark.createDataFrame([], "offset long, violations array<string>")
+
+
+def requeue_quarantine(
+    spark,
+    table,
+    quarantine_dir: str,
+    constraints: "dict[str, str] | None" = None,
+    **apply_kwargs,
+) -> dict:
+    """Re-apply quarantined events after the rules changed (the lifecycle's
+    third act: divert → audit → requeue).  Events still carry their
+    ORIGINAL ``(commit_seq, offset)``, so LWW arbitration makes the requeue
+    order-free: a key the stream updated since loses to the newer version,
+    an untouched key lands exactly as it would have originally — no
+    special-case merge logic, the ordinary arbitration IS the repair.
+
+    ``constraints``: the (presumably relaxed) rule set to re-validate
+    against — rows still violating stay quarantined (the audit record is
+    NEVER mutated here; it is the immutable log of what was diverted).
+    ``None`` waives validation and requeues everything.
+
+    Idempotent: the batch id is content-addressed over the quarantined
+    offset range AND the rule set (names + expressions), so re-running the
+    same requeue no-ops, while a later, further-relaxed requeue gets a
+    fresh id and applies the newly-passing rows (already-applied ones are
+    LWW-idempotent).  The offset high-water is NOT advanced — quarantined
+    offsets sit below it already (consumed-and-diverted), so the planner's
+    resume point must not move.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch
+
+    q = read_quarantine(spark, quarantine_dir)
+    ev = q.drop("violations", "batch")
+    n_still_bad = 0
+    if constraints is not None:
+        ev, still_bad = split_by_constraints(ev, constraints)
+        n_still_bad = still_bad.count()
+    stats = ev.agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return {"requeued": 0, "still_quarantined": n_still_bad,
+                "skipped": True}
+    rules = "|".join(
+        f"{k}={v}" for k, v in sorted((constraints or {}).items())
+    )
+    digest = hashlib.sha256(rules.encode()).hexdigest()[:12]
+    batch_id = f"rq{stats['lo']}-{stats['hi']}-{digest}"
+    hi_now = table.last_committed_offset()
+    res = apply_batch(
+        spark, table, ev, batch_id,
+        offsets={"lo": hi_now + 1, "hi": hi_now},  # high-water unchanged
+        **apply_kwargs,
+    )
+    res["requeued"] = 0 if res.get("skipped") else int(stats["n"])
+    res["still_quarantined"] = n_still_bad
+    return res

@@ -171,3 +171,54 @@ def test_window_with_all_events_quarantined_still_advances(spark, tmp_path):
     assert table.last_committed_offset() == 199
     assert table.scan(spark).count() == 0
     assert read_quarantine(spark, str(tmp_path / "q")).count() == 200
+
+
+def test_requeue_after_relaxing_constraints(spark, tmp_path):
+    """Divert -> audit -> requeue: quarantined events re-applied under a
+    relaxed rule set land at their ORIGINAL LWW version (keys the stream
+    updated since keep the newer value; untouched keys land as they would
+    have originally), the audit record is not mutated, the offset
+    high-water does not move, and the requeue is idempotent."""
+    from glad_tiles_pipeline_spark.operators.constraints import (
+        requeue_quarantine,
+    )
+
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "q")
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, table, log_dir, batch_size=1000,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir)
+    hi = table.last_committed_offset()
+    n_q = read_quarantine(spark, qdir).count()
+    events = spark.read.parquet(log_dir)
+
+    # relax: only files ending 77.py stay forbidden
+    relaxed = {"no_very_lucky_paths": "path NOT LIKE '%77.py'"}
+    res = requeue_quarantine(spark, table, qdir, constraints=relaxed)
+    assert res["requeued"] > 0
+    assert res["requeued"] + res["still_quarantined"] == n_q
+
+    # final state == replay of the originally-passing set plus the
+    # requeued subset of the violators that pass the relaxed rules
+    ok_strict, bad_strict = split_by_constraints(events, CONSTRAINTS)
+    requeued_ok, _ = split_by_constraints(bad_strict.drop("violations"), relaxed)
+    want = oracle_state_df(spark, ok_strict.unionByName(requeued_ok))
+    got = table.scan(spark)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # audit record untouched, high-water unchanged
+    assert read_quarantine(spark, qdir).count() == n_q
+    assert table.last_committed_offset() == hi
+
+    # idempotent: same rules -> same content-addressed id -> no-op
+    res2 = requeue_quarantine(spark, table, qdir, constraints=relaxed)
+    assert res2.get("skipped") and res2["requeued"] == 0
+
+    # further relaxation gets a fresh id and applies the rest
+    res3 = requeue_quarantine(spark, table, qdir, constraints=None)
+    assert res3["requeued"] == n_q  # LWW-idempotent re-apply of the overlap
+    want_full = oracle_state_df(spark, events)
+    got_full = table.scan(spark)
+    assert got_full.exceptAll(want_full).count() == 0
+    assert want_full.exceptAll(got_full).count() == 0
