@@ -136,6 +136,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "boolean expr is FALSE are quarantined instead of "
                         "applied (NULL passes; control events always pass). "
                         "Requires --quarantine-dir")
+    p.add_argument("--requeue", action="store_true",
+                   help="after ingest, re-validate the quarantine against "
+                        "the CURRENT --expect rules and re-apply passing "
+                        "events at their original LWW version (rules "
+                        "relaxed since they were diverted); the audit "
+                        "record is never mutated")
     p.add_argument("--quarantine-dir", default=None,
                    help="where --expect violators land, one overwritten "
                         "parquet dir per batch id (replay-safe)")
@@ -416,6 +422,22 @@ def main(argv: list[str] | None = None) -> int:
         # aware retention already pins any files this run just staged)
         vacuumed = main_table.vacuum(keep_last=args.vacuum_keep)
 
+    if args.requeue:
+        if args.quarantine_dir is None:
+            raise SystemExit("--requeue requires --quarantine-dir")
+        from glad_tiles_pipeline_spark.operators.constraints import (
+            requeue_quarantine,
+        )
+
+        rq = requeue_quarantine(
+            spark, table, args.quarantine_dir, constraints=constraints,
+            merge_mode=args.merge_mode, use_arrow_udfs=args.use_arrow_udfs,
+        )
+        summary_requeue = {"requeued": rq["requeued"],
+                           "still_quarantined": rq["still_quarantined"]}
+    else:
+        summary_requeue = None
+
     applied = [r for r in results if not r.get("skipped")]
     summary = {
         "mode": args.mode,
@@ -431,6 +453,8 @@ def main(argv: list[str] | None = None) -> int:
             r.get("quarantined", 0) + r.get("check_quarantined", 0)
             for r in applied
         )
+    if summary_requeue is not None:
+        summary.update(summary_requeue)
     if vacuumed is not None:
         summary["vacuum"] = vacuumed
     if sig_index is not None:
