@@ -115,7 +115,12 @@ def requeue_quarantine(
     offset range AND the rule set (names + expressions), so re-running the
     same requeue no-ops, while a later, further-relaxed requeue gets a
     fresh id and applies the newly-passing rows (already-applied ones are
-    LWW-idempotent).  The offset high-water is NOT advanced — quarantined
+    LWW-idempotent).  The range is a sound content address because a
+    table's quarantine only grows at the top: new violators arrive from
+    new ingest windows, whose offsets sit above every prior window's, so
+    any quarantine growth moves ``hi`` and with it the id.  (Don't point
+    two different tables' ingests at one quarantine dir — their ranges
+    interleave and the address stops meaning "this exact set".)  The offset high-water is NOT advanced — quarantined
     offsets sit below it already (consumed-and-diverted), so the planner's
     resume point must not move.
     """
