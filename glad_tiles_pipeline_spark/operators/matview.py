@@ -31,12 +31,17 @@ needs the GROUP SET at-least-once, which the generic
 ``catch_up_derived_index`` guarantees.
 
 Version stamping: each refresh writes its groups' rows with the LWW pair
-``(commit_seq=offsets.hi, offset=offsets.hi)`` — monotone across batch
-windows (the planner's windows advance, catch-up windows end at the
-table's high-water), so a later window's refresh always beats an earlier
-one's and equal windows are byte-identical recomputes.  Groups whose
-live-row count reaches zero are TOMBSTONED (the view never serves an
-all-deleted group as a stale row).
+``(v, v)`` where ``v = max _commit_seq stored in the VIEW + 1`` (the
+merge_into counter, O(manifest) from per-file stats).  The counter is
+monotone in APPLICATION order — which the window's offsets are NOT: a
+file-source stream can deliver micro-batches out of offset order, and a
+refresh stamped with its window's ``hi`` could then lose LWW to an
+OLDER window's refresh even though it recomputed newer truth (observed
+as a real flake under load).  Hooks run sequentially (foreachBatch /
+the batch loop / catch-up are all single-writer, like every admin op
+here), so max+1 is race-free.  Groups whose live-row count reaches zero
+are TOMBSTONED (the view never serves an all-deleted group as a stale
+row).
 
 Exactly-once across table + view without a cross-table transaction:
 the same asymmetric-crash argument as the signature index
@@ -145,10 +150,15 @@ def refresh_matview(
 ) -> dict:
     """Refresh ``groups`` through the real MERGE path — idempotent on
     ``batch_id``; passes ``offsets`` through so the view records its own
-    high-water for the generic catch-up."""
+    high-water for the generic catch-up.  The refresh version is the
+    view's own monotone commit counter, NOT the window's offsets (see
+    module docstring: stream micro-batches can arrive out of offset
+    order, and the view must reflect the LATEST recompute)."""
     from glad_tiles_pipeline_spark.operators.merge import apply_batch
+    from glad_tiles_pipeline_spark.operators.merge_into import max_commit_seq
 
-    ev = mv_refresh_events(spark, table, groups, aggs, version=offsets["hi"])
+    version = max_commit_seq(spark, view) + 1
+    ev = mv_refresh_events(spark, table, groups, aggs, version=version)
     return apply_batch(
         spark, view, ev, batch_id=batch_id, offsets=offsets,
         merge_mode=merge_mode, use_arrow_udfs=False,

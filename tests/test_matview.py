@@ -218,3 +218,41 @@ def test_streaming_ingest_maintains_view_and_respects_constraints(
     _assert_view_equals_recompute(spark, table, view)
     # and the table state really excludes the violators
     assert table.scan(spark).filter(F.col("path").like("%7.py")).count() == 0
+
+
+def test_out_of_order_windows_view_reflects_latest_recompute(spark, tmp_path):
+    """Regression: a file-source stream can deliver micro-batches out of
+    OFFSET order.  When the later-APPLIED window carries the LOWER
+    offsets (a late-listed file), its recompute is still the newest
+    truth; a refresh stamped with the window's ``hi`` would lose LWW to
+    the earlier window's higher stamp and freeze the view stale.  The
+    fix versions refreshes by the view's own monotone commit counter, so
+    application order — the order recomputes actually observe the table
+    — decides."""
+    from glad_tiles_pipeline_spark.operators.matview import refresh_matview
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch
+
+    log_dir, table, view = _mk(spark, tmp_path, log_events=3000)
+    log = spark.read.parquet(log_dir)
+    cut = 1500
+    hi_win = log.filter(F.col("offset") >= cut)  # delivered first
+    lo_win = log.filter(F.col("offset") < cut)  # delivered second (late)
+
+    def _touched(ev):
+        return [
+            r["repo"]
+            for r in ev.filter(F.col("control").isNull())
+            .select("repo").distinct().collect()
+        ]
+
+    apply_batch(spark, table, hi_win, "b-hi", offsets={"lo": cut, "hi": 2999})
+    refresh_matview(
+        spark, table, view, _touched(hi_win), _aggs(),
+        batch_id="mv-b-hi", offsets={"lo": cut, "hi": 2999},
+    )
+    apply_batch(spark, table, lo_win, "b-lo", offsets={"lo": 0, "hi": cut - 1})
+    refresh_matview(
+        spark, table, view, _touched(lo_win), _aggs(),
+        batch_id="mv-b-lo", offsets={"lo": 0, "hi": cut - 1},
+    )
+    _assert_view_equals_recompute(spark, table, view)
