@@ -278,6 +278,7 @@ def apply_batch(
     use_arrow_udfs: bool = True,
     offsets: dict | None = None,
     merge_mode: str = "cow",
+    source: str = "default",
 ) -> dict:
     """Apply one micro-batch of change events exactly once.  Returns a
     summary dict (snapshot_id, metrics).  Re-invocation with a committed
@@ -290,6 +291,12 @@ def apply_batch(
     equality), which stays inside whole-stage codegen and skips the Python
     exchange (~16% faster end-to-end in round-1 measurements) — offered as
     the opt-in fast path for deployments that don't need the UDF surface.
+
+    ``source`` names the offset channel this batch consumed from (S29
+    multi-writer): the commit advances only that channel's high-water, so
+    concurrent writers tailing different changelogs never move each
+    other's resume point.  Single-writer callers keep the implicit
+    ``default`` channel and see no behavior change.
     """
     already = table.batch_committed(batch_id)
     if already is not None:
@@ -769,6 +776,7 @@ def apply_batch(
         offsets=offsets,
         lineage=lineage,
         metrics=metrics,
+        source=source,
     )
     return {"snapshot_id": snapshot_id, "batch_id": batch_id,
             "skipped": False, "metrics": metrics}

@@ -718,8 +718,24 @@ class LakeTable:
             ]
         )
 
-    def last_committed_offset(self) -> int:
-        return self.manifest()["offsets"]["hi"]
+    def last_committed_offset(self, source: str | None = None) -> int:
+        """Resume point.  ``source=None`` keeps the legacy reading — the
+        CURRENT manifest's window verbatim (derived-sink catch-up depends
+        on verbatim: a regressed window only widens its catch-up).  A
+        named read returns that source's own monotone high-water from the
+        per-source channels (S29) — under multi-writer interleaving the
+        verbatim scalar alternates between writers and is meaningless as
+        a resume point, which is exactly why the channels exist.  The
+        ``default`` channel falls back to the scalar for manifests
+        written before channels existed; an unknown named source reads
+        -1 (never committed)."""
+        m = self.manifest()
+        if source is None:
+            return m["offsets"]["hi"]
+        chans = m.get("source_offsets") or {}
+        if source in chans:
+            return int(chans[source]["hi"])
+        return int(m["offsets"]["hi"]) if source == "default" else -1
 
     # -- batch-id index (amortized O(1) idempotence lookups) -------------------
     #
@@ -1224,6 +1240,8 @@ class LakeTable:
         schema_version: int | None = None,
         schemas: dict | None = None,
         layout_update: dict | None = None,
+        source: str | None = None,
+        restore_source_offsets: dict | None = None,
     ) -> int:
         """Publish a new snapshot: carry forward parent files for untouched
         buckets, swap in ``new_files`` for ``replaced_buckets``.
@@ -1242,6 +1260,17 @@ class LakeTable:
         Fencing: the new manifest is v{expected_parent+1}; if that file
         already exists the CAS failed → CommitConflict (unless the existing
         chain already contains our batch_id → idempotent no-op).
+
+        Per-source offset channels (S29, multi-writer): ``source`` names
+        the offset stream this commit consumed from; its channel in
+        ``source_offsets`` advances MONOTONICALLY to ``max(prev,
+        offsets.hi)`` while every other channel carries forward — so N
+        writers tailing N changelogs into one table each keep their own
+        resume point, interleaving freely under the same manifest CAS.
+        ``source=None`` (compaction, rebucket, WAP publish) touches no
+        channel.  ``restore_source_offsets`` replaces the whole dict
+        (rollback restores the target snapshot's channels).  The legacy
+        scalar ``offsets`` stays verbatim-per-commit either way.
         """
         already = self.batch_committed(batch_id)
         if already is not None:
@@ -1267,6 +1296,17 @@ class LakeTable:
             layouts = {str(k): int(v) for k, v in layout_update["layouts"].items()}
             write_gen = int(layout_update["write_gen"])
             migration = layout_update.get("migration")
+        if restore_source_offsets is not None:
+            chans = dict(restore_source_offsets)
+        else:
+            chans = dict(parent.get("source_offsets") or {})
+            if source is not None:
+                prev_hi = (
+                    int(chans[source]["hi"]) if source in chans
+                    else int(parent["offsets"]["hi"]) if source == "default"
+                    else -1
+                )
+                chans[source] = {"hi": max(prev_hi, int(offsets["hi"]))}
         manifest = {
             "snapshot_id": expected_parent + 1,
             "parent_snapshot_id": expected_parent,
@@ -1282,6 +1322,8 @@ class LakeTable:
             "metrics": metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if chans:
+            manifest["source_offsets"] = chans
         if migration is not None:
             manifest["migration"] = migration
         self._publish(manifest)
@@ -1585,6 +1627,12 @@ class LakeTable:
                 replaced_buckets="all",
                 new_files=list(target["files"]),
                 offsets=dict(target["offsets"]),
+                # channels rewind WITH the table: a carried-forward (dead
+                # head's) channel would make every source's planner skip
+                # re-ingesting its rolled-back windows
+                restore_source_offsets=dict(
+                    target.get("source_offsets") or {}
+                ),
                 lineage={"rollback_of": snapshot_id},
                 metrics={"merge_mode": "rollback", "rolled_back_from": cur},
                 schema_version=target["schema_version"],

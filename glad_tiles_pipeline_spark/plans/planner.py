@@ -27,9 +27,12 @@ def max_offset(spark: SparkSession, changelog_dir: str) -> int:
     return -1 if row["m"] is None else int(row["m"])
 
 
-def batch_id_for(lo: int, hi: int) -> str:
-    """Deterministic batch id from the offset window → idempotent replay."""
-    return f"b{lo}-{hi}"
+def batch_id_for(lo: int, hi: int, source: str | None = None) -> str:
+    """Deterministic batch id from the offset window → idempotent replay.
+    Named sources are namespaced: two writers' logs both start at offset
+    0, and a shared ``b0-...`` id would make the second source's first
+    window read as already committed (silent data loss)."""
+    return f"b{lo}-{hi}" if source is None else f"src-{source}-b{lo}-{hi}"
 
 
 def ingest_changelog(
@@ -42,6 +45,7 @@ def ingest_changelog(
     post_apply=None,
     constraints: dict | None = None,
     quarantine_dir: str | None = None,
+    source: str | None = None,
     **apply_kwargs,
 ) -> list[dict]:
     """Tail the changelog to the end (or ``max_batches``), one fenced MERGE
@@ -61,6 +65,18 @@ def ingest_changelog(
     window still covers the quarantined offsets — consumed-and-diverted,
     never re-fed.
 
+    ``source`` (S29 multi-writer): names this changelog's offset channel.
+    N planners tailing N changelogs (CDC shards, per-topic streams) into
+    ONE table run CONCURRENTLY: each resumes from its own channel's
+    high-water, batch ids are namespaced per source, and the manifest CAS
+    serializes the actual commits — a loser's ``CommitConflict`` re-plans
+    the same window against the new head (its staged files become vacuum
+    orphans), so every window commits exactly once.  Unnamed ingest uses
+    the ``default`` channel, byte-identical to the single-writer
+    behavior.  Derived sinks (``post_apply``) stay single-writer per
+    derived table: give each source its own index/view, or fan all
+    sources through one planner.
+
     ``post_apply(events, batch_id, offsets)`` mirrors the T6 bridge hook
     (streaming/bridge.py): a derived sink riding the same batch window
     (e.g. the dedup signature index).  NOTE the batch loop advances by the
@@ -78,9 +94,10 @@ def ingest_changelog(
         )
     results = []
     hi_available = max_offset(spark, changelog_dir)
+    chan = source or "default"
     n = 0
     while True:
-        lo = table.last_committed_offset() + 1
+        lo = table.last_committed_offset(chan) + 1
         if lo > hi_available:
             break
         hi = min(lo + batch_size - 1, hi_available)
@@ -94,15 +111,16 @@ def ingest_changelog(
 
             events, bad = split_by_constraints(events, constraints)
             n_quarantined = quarantine_batch(
-                bad, quarantine_dir, batch_id_for(lo, hi)
+                bad, quarantine_dir, batch_id_for(lo, hi, source)
             )
         try:
             res = apply_batch(
                 spark,
                 table,
                 events,
-                batch_id_for(lo, hi),
+                batch_id_for(lo, hi, source),
                 offsets={"lo": lo, "hi": hi},
+                source=chan,
                 **apply_kwargs,
             )
         except CommitConflict:
@@ -114,7 +132,7 @@ def ingest_changelog(
             res["quarantined"] = n_quarantined
         if post_apply is not None:
             res["post"] = post_apply(
-                events, batch_id_for(lo, hi), {"lo": lo, "hi": hi}
+                events, batch_id_for(lo, hi, source), {"lo": lo, "hi": hi}
             )
         results.append(res)
         n += 1

@@ -142,6 +142,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "events at their original LWW version (rules "
                         "relaxed since they were diverted); the audit "
                         "record is never mutated")
+    p.add_argument("--source", default=None,
+                   help="named offset channel for this changelog (S29): "
+                        "run one ingest per source CONCURRENTLY into the "
+                        "same table; each resumes from its own high-water "
+                        "(batch mode only)")
     p.add_argument("--quarantine-dir", default=None,
                    help="where --expect violators land, one overwritten "
                         "parquet dir per batch id (replay-safe)")
@@ -248,6 +253,21 @@ def main(argv: list[str] | None = None) -> int:
         print(f"rebucketed to {args.rebucket_to} buckets in "
               f"{info['steps']} step(s), snapshot {info['final_snapshot']}")
 
+    if args.source is not None and any(
+        a is not None
+        for a in (args.signature_index, args.token_index, args.matview)
+    ):
+        # refused BEFORE hook setup: building a hook runs the derived-sink
+        # catch-up, a side effect a refused invocation must not have.
+        # Derived catch-up windows are addressed by the MAIN table's
+        # verbatim offset scalar, which interleaved writers alternate — a
+        # named-source run could catch up against another source's window
+        # (same honesty contract as --branch).
+        raise SystemExit("--source cannot be combined with derived sinks "
+                         "(--signature-index/--token-index/--matview): "
+                         "their catch-up is addressed by the single-writer "
+                         "offset scalar.  Maintain derived tables from the "
+                         "unnamed (single-writer) ingest.")
     hooks = []
     sig_index = None
     if (args.matview is not None) != bool(args.matview_agg):
@@ -367,6 +387,9 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--expect requires --quarantine-dir (violators "
                              "are never silently dropped)")
 
+    if args.source is not None and args.mode != "batch":
+        raise SystemExit("--source is batch-mode only (the stream bridge "
+                         "tracks offsets in its own checkpoint)")
     if args.mode == "batch":
         results = ingest_changelog(
             spark,
@@ -381,6 +404,7 @@ def main(argv: list[str] | None = None) -> int:
             post_apply=sig_hook,
             constraints=constraints,
             quarantine_dir=args.quarantine_dir,
+            source=args.source,
         )
     else:
         from glad_tiles_pipeline_spark.streaming import stream_ingest
