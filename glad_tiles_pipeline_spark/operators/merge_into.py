@@ -105,6 +105,32 @@ def _as_col(expr: "Column | str | None") -> Column | None:
     return F.expr(expr) if isinstance(expr, str) else expr
 
 
+def validate_settable(by_name: dict, clause: str, names) -> None:
+    """Refuse SET/INSERT targets that aren't event-settable: unknown
+    columns, the two key fields (ids 1/2 — the upsert identity), columns
+    without a changelog source mapping, and the engine-derived sha (it is
+    recomputed from content post-dedup; a caller-supplied value would go
+    stale the moment content changes).  Shared by ``merge_into`` and the
+    predicate row-ops (operators/rowops.py)."""
+    for name in names or ():
+        f = by_name.get(name)
+        if f is None:
+            raise ValueError(f"{clause}: no such column {name!r}")
+        if f["id"] in (1, 2):
+            raise ValueError(f"{clause}: key column {name!r} cannot be set")
+        if f.get("source") is None:
+            raise ValueError(
+                f"{clause}: column {name!r} has no changelog source "
+                "mapping (evolve(add_column, source=...) to make it "
+                "event-settable)"
+            )
+        if f.get("source") == "content_sha":
+            raise ValueError(
+                f"{clause}: {name!r} is engine-derived "
+                "(sha256 of content) and cannot be set by a MERGE"
+            )
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -140,27 +166,10 @@ def merge_into(
     for k in (key1, key2):
         if k not in source.columns:
             raise ValueError(f"source is missing key column {k!r}")
-    for clause, d in (
-        ("when_matched_update", when_matched_update),
-        ("when_not_matched_insert", when_not_matched_insert),
-    ):
-        for name in d or {}:
-            f = by_name.get(name)
-            if f is None:
-                raise ValueError(f"{clause}: no such column {name!r}")
-            if f["id"] in (1, 2):
-                raise ValueError(f"{clause}: key column {name!r} cannot be set")
-            if f.get("source") is None:
-                raise ValueError(
-                    f"{clause}: column {name!r} has no changelog source "
-                    "mapping (evolve(add_column, source=...) to make it "
-                    "event-settable)"
-                )
-            if f.get("source") == "content_sha":
-                raise ValueError(
-                    f"{clause}: {name!r} is engine-derived "
-                    "(sha256 of content) and cannot be set by a MERGE"
-                )
+    validate_settable(by_name, "when_matched_update", when_matched_update)
+    validate_settable(
+        by_name, "when_not_matched_insert", when_not_matched_insert
+    )
 
     # ambiguous-merge guard (Delta parity): ≤1 source row per key
     dup = (

@@ -1189,6 +1189,60 @@ def q_merge_into_upsert(spark, sf_dir):
     return table.scan(spark).select("corpus", "doc_id", "langid", "n_chars")
 
 
+def q_rowops_update_delete(spark, sf_dir):
+    """Predicate row-level ops (operators/rowops.py, S30) compiled onto
+    the exactly-once CDC apply path: documents seed a lake table, then
+    ``UPDATE ... SET langid = concat('u-', langid), n_chars = n_chars*2+1
+    WHERE n_chars % 5 = 2`` and ``DELETE WHERE n_chars % 7 = 3`` run in
+    sequence — the delete predicate sees post-update values, which is the
+    ordering the oracle recomputes declaratively.  No join anywhere: each
+    op is one predicate-filtered live read emitting O(matched) events.
+    Payload columns are named ``langid`` (not the CDC schema's ``lang``)
+    so lang normalization stays out of the comparison."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch
+    from glad_tiles_pipeline_spark.operators.rowops import (
+        delete_where,
+        update_where,
+    )
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+
+    docs = _t(spark, sf_dir, "documents")
+    schema = T.StructType([
+        T.StructField("corpus", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("langid", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    root = tempfile.mkdtemp(prefix="rowops_")
+    table = LakeTable.create(root + "/t", schema=schema, n_buckets=8)
+    seed = docs.select(
+        F.col("doc_id").alias("offset"),
+        F.lit(1).cast("long").alias("commit_seq"),
+        F.lit("U").alias("op"),
+        F.lit("docs").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.col("lang").alias("langid"),
+        F.col("n_chars"),
+        F.lit(None).cast("string").alias("control"),
+    )
+    apply_batch(spark, table, seed, "seed", use_arrow_udfs=False)
+    update_where(
+        spark, table,
+        {"langid": "concat('u-', langid)", "n_chars": "n_chars * 2 + 1"},
+        "n_chars % 5 = 2", "u1",
+        merge_mode="mor", use_arrow_udfs=False,
+    )
+    delete_where(
+        spark, table, "n_chars % 7 = 3", "d1",
+        merge_mode="mor", use_arrow_udfs=False,
+    )
+    return table.scan(spark).select("corpus", "doc_id", "langid", "n_chars")
+
+
 def q_matview_repo_stats(spark, sf_dir):
     """Incrementally-maintained materialized aggregate view
     (operators/matview.py, X13): per-group (repo) aggregates served from a
@@ -2121,6 +2175,23 @@ _ALL_ORACLES: dict[str, str] = {
         SELECT s.corpus, s.doc_id, s.langid, s.n_chars
         FROM src s LEFT JOIN tgt t USING (corpus, doc_id)
         WHERE t.doc_id IS NULL AND s.n_chars % 5 <> 2""",
+    # the same UPDATE-then-DELETE recomputed declaratively: the delete
+    # predicate applies to POST-update values (ops ran in that order)
+    "rowops_update_delete": """
+        WITH seed AS (
+            SELECT 'docs' AS corpus,
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+                   lang AS langid, n_chars
+            FROM documents),
+        upd AS (
+            SELECT corpus, doc_id,
+                   CASE WHEN n_chars % 5 = 2
+                        THEN concat('u-', langid) ELSE langid END AS langid,
+                   CASE WHEN n_chars % 5 = 2
+                        THEN n_chars * 2 + 1 ELSE n_chars END AS n_chars
+            FROM seed)
+        SELECT corpus, doc_id, langid, n_chars
+        FROM upd WHERE n_chars % 7 <> 3""",
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "dedup_embedding_incremental": (
         f"SELECT * FROM ({_EMB_NEARDUP_SQL}) WHERE id_a % 7 = 3 OR id_b % 7 = 3"
@@ -2247,6 +2318,7 @@ EXTRA_QUERIES = {
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "merge_into_upsert": q_merge_into_upsert,
+    "rowops_update_delete": q_rowops_update_delete,
     "matview_repo_stats": q_matview_repo_stats,
     "constraints_quarantine": q_constraints_quarantine,
     "text_search_terms": q_text_search_terms,
