@@ -30,13 +30,22 @@ the same query with a continuous trigger.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.operators.merge import apply_batch
-from glad_tiles_pipeline_spark.plans.lake import LakeTable
+from glad_tiles_pipeline_spark.plans.lake import CommitConflict, LakeTable
 from glad_tiles_pipeline_spark.sources.changelog import read_changelog_stream
+
+# A CommitConflict in foreachBatch means a CONCURRENT writer won the
+# manifest CAS — the micro-batch itself is still valid, so the bridge
+# retries the apply against the new head instead of letting the conflict
+# kill the streaming query (Spark would re-run the task a few times and
+# then fail the whole stream).  Bounded: the writer is making no progress
+# if it loses this many CAS races in a row against the same micro-batch.
+_CONFLICT_RETRIES = 12
 
 
 def with_stream_hygiene(
@@ -76,6 +85,7 @@ def stream_ingest(
     post_apply=None,
     constraints: dict | None = None,
     check_quarantine_dir: str | None = None,
+    channel: str | None = None,
     **apply_kwargs,
 ) -> list[dict]:
     """Drain the changelog into the lake table via foreachBatch (T6).
@@ -97,7 +107,7 @@ def stream_ingest(
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
         post_apply=post_apply, constraints=constraints,
-        check_quarantine_dir=check_quarantine_dir,
+        check_quarantine_dir=check_quarantine_dir, channel=channel,
     )
 
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
@@ -150,6 +160,7 @@ def stream_ingest_continuous(
     post_apply=None,
     constraints: dict | None = None,
     check_quarantine_dir: str | None = None,
+    channel: str | None = None,
     **apply_kwargs,
 ):
     """The production loop: the SAME query as ``stream_ingest`` under a
@@ -167,7 +178,7 @@ def stream_ingest_continuous(
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
         post_apply=post_apply, constraints=constraints,
-        check_quarantine_dir=check_quarantine_dir,
+        check_quarantine_dir=check_quarantine_dir, channel=channel,
     )
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
     events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
@@ -190,12 +201,25 @@ def _make_foreach_batch(
     post_apply=None,
     constraints: dict | None = None,
     check_quarantine_dir: str | None = None,
+    channel: str | None = None,
 ):
     if constraints is not None and check_quarantine_dir is None:
         raise ValueError(
             "constraints require a check_quarantine_dir: silently dropping "
             "violating events is not offered (X14 audit contract)"
         )
+    # S29 multi-writer: a NAMED channel namespaces the fencing id, exactly
+    # like the batch planner's ``src-{source}-b{lo}-{hi}`` — two streams
+    # tailing two logs that both start at offset 0 must not share a
+    # ``s0-...`` id (the second would read as already committed: silent
+    # drop).  It also names the offset channel apply_batch advances.  The
+    # kwarg is ``channel`` (not the planner's ``source``) only because the
+    # bridge's ``source=`` is taken by the caller-supplied streaming
+    # DataFrame.  The unnamed default keeps the legacy ``s{lo}-{hi}``
+    # spelling so existing tables/checkpoints resume without re-fencing.
+    channel = channel or "default"
+    apply_kwargs = {**apply_kwargs, "source": channel}
+    id_prefix = "s" if channel == "default" else f"src-{channel}-s"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
@@ -208,7 +232,7 @@ def _make_foreach_batch(
         ).collect()[0]
         if stats["lo"] is None:
             return  # empty micro-batch: nothing to commit
-        content_batch_id = f"s{int(stats['lo'])}-{int(stats['hi'])}"
+        content_batch_id = f"{id_prefix}{int(stats['lo'])}-{int(stats['hi'])}"
         offsets = {"lo": int(stats["lo"]), "hi": int(stats["hi"])}
 
         n_late = 0
@@ -241,10 +265,21 @@ def _make_foreach_batch(
             n_checked_out = quarantine_batch(
                 bad, check_quarantine_dir, content_batch_id
             )
-        res = apply_batch(
-            spark, table, df, batch_id=content_batch_id,
-            offsets=offsets, **apply_kwargs,
-        )
+        for attempt in range(_CONFLICT_RETRIES + 1):
+            try:
+                res = apply_batch(
+                    spark, table, df, batch_id=content_batch_id,
+                    offsets=offsets, **apply_kwargs,
+                )
+                break
+            except CommitConflict:
+                # Losing the CAS publishes NOTHING (our staged files are
+                # vacuum orphans), so a plain retry re-plans against the
+                # refreshed head; if an earlier attempt DID commit, the
+                # content-addressed batch_id makes the retry a no-op.
+                if attempt == _CONFLICT_RETRIES:
+                    raise
+                time.sleep(min(0.05 * (2 ** attempt), 1.0))
         res["quarantined"] = n_late
         if constraints is not None:
             res["check_quarantined"] = n_checked_out

@@ -19,6 +19,7 @@ import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 
+import pytest
 from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.plans.lake import LakeTable
@@ -184,3 +185,111 @@ def test_unnamed_ingest_is_unchanged_and_maintains_default_channel(
     assert [r["batch_id"] for r in res] == ["b0-999", "b1000-1999"]
     assert table.manifest()["offsets"] == {"lo": 1000, "hi": 1999}
     assert table.manifest()["source_offsets"] == {"default": {"hi": 1999}}
+
+
+def test_stream_conflict_retries_instead_of_failing(spark, tmp_path, monkeypatch):
+    """A foreachBatch CommitConflict means a CONCURRENT writer won the
+    manifest CAS — the micro-batch is still valid, so the bridge must
+    retry against the new head instead of letting Spark fail the whole
+    streaming query.  Simulated: the first three apply attempts lose the
+    race, the fourth succeeds; nothing is dropped or double-applied."""
+    from glad_tiles_pipeline_spark.operators.merge import apply_batch as real_apply
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict
+    from glad_tiles_pipeline_spark.streaming import bridge as bridge_mod
+
+    log = _write_log(spark, str(tmp_path / "a"), 2000, "A", seed=21)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+
+    fails = {"left": 3, "seen": 0}
+
+    def flaky_apply(*a, **k):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            fails["seen"] += 1
+            raise CommitConflict("simulated concurrent-writer race")
+        return real_apply(*a, **k)
+
+    monkeypatch.setattr(bridge_mod, "apply_batch", flaky_apply)
+    results = bridge_mod.stream_ingest(
+        spark, table, log, str(tmp_path / "ckpt")
+    )
+    assert fails["seen"] == 3
+    assert [r for r in results if not r.get("skipped")]
+    _assert_equals_union_oracle(spark, table, log)
+
+    # a conflict that never resolves surfaces after the retry budget
+    # (honest failure, not an infinite stall)
+    monkeypatch.setattr(bridge_mod, "_CONFLICT_RETRIES", 1)
+    fails["left"] = 10**9
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        bridge_mod.stream_ingest(
+            spark, LakeTable.create(str(tmp_path / "t2"), n_buckets=4),
+            log, str(tmp_path / "ckpt2"),
+        )
+
+
+def test_two_streaming_channels_do_not_collide_on_fencing_ids(spark, tmp_path):
+    """Two streaming writers with named channels both start at offset 0:
+    without per-channel namespacing the second stream's first micro-batch
+    would match the first's committed ``s0-...`` id and be silently
+    dropped.  Also proves ``channel=`` advances ITS offset channel only."""
+    from glad_tiles_pipeline_spark.streaming import stream_ingest
+
+    log_a = _write_log(spark, str(tmp_path / "a"), 2000, "A", seed=22)
+    log_b = _write_log(spark, str(tmp_path / "b"), 1500, "B", seed=23)
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=4)
+
+    ra = stream_ingest(spark, LakeTable(root), log_a, str(tmp_path / "ck_a"),
+                       channel="A")
+    rb = stream_ingest(spark, LakeTable(root), log_b, str(tmp_path / "ck_b"),
+                       channel="B")
+    assert not any(r["skipped"] for r in ra + rb)
+
+    table = LakeTable(root)
+    assert table.batch_committed("src-A-s0-1999") is not None
+    assert table.batch_committed("src-B-s0-1499") is not None
+    assert table.last_committed_offset("A") == 1999
+    assert table.last_committed_offset("B") == 1499
+    _assert_equals_union_oracle(spark, table, log_a, log_b)
+
+
+def test_concurrent_stream_and_batch_writer_one_table(spark, tmp_path):
+    """The real race: a streaming writer (channel A) and a batch planner
+    (source B) ingest into ONE table at the same time.  CAS losers retry
+    (stream) / re-plan (batch); the final state equals the union replay
+    oracle and both channels reach their logs' heads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from glad_tiles_pipeline_spark.streaming import stream_ingest
+
+    log_a = _write_log(spark, str(tmp_path / "a"), 4000, "A", seed=31)
+    log_b = _write_log(spark, str(tmp_path / "b"), 4000, "B", seed=32)
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+
+    def run_stream():
+        return stream_ingest(
+            spark, LakeTable(root), log_a, str(tmp_path / "ckpt"),
+            channel="A", max_files_per_trigger=2, merge_mode="mor",
+        )
+
+    def run_batch():
+        return ingest_changelog(
+            spark, LakeTable(root), log_b, batch_size=800, source="B",
+            merge_mode="mor",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(run_stream)
+        fb = ex.submit(run_batch)
+        ra, rb = fa.result(timeout=600), fb.result(timeout=600)
+
+    assert [r for r in ra if not r.get("skipped")]
+    assert len(rb) == 5 and not any(r["skipped"] for r in rb)
+    table = LakeTable(root)
+    assert table.last_committed_offset("A") == 3999
+    assert table.last_committed_offset("B") == 3999
+    _assert_equals_union_oracle(spark, table, log_a, log_b)
