@@ -218,6 +218,17 @@ def _make_foreach_batch(
     # DataFrame.  The unnamed default keeps the legacy ``s{lo}-{hi}``
     # spelling so existing tables/checkpoints resume without re-fencing.
     channel = channel or "default"
+    if channel != "default" and post_apply is not None:
+        # Same honesty contract as the CLI's --source refusal: derived
+        # sinks are single-writer per derived table (their batch-mode
+        # catch-up is addressed by the main table's verbatim offset
+        # scalar, which interleaved writers alternate, and concurrent
+        # hooks would race on the derived table's own manifest CAS).
+        # Maintain derived tables from the unnamed single-writer ingest.
+        raise ValueError(
+            "a named channel cannot be combined with post_apply derived "
+            "sinks; maintain derived tables from the default channel"
+        )
     apply_kwargs = {**apply_kwargs, "source": channel}
     id_prefix = "s" if channel == "default" else f"src-{channel}-s"
 

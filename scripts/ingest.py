@@ -146,7 +146,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="named offset channel for this changelog (S29): "
                         "run one ingest per source CONCURRENTLY into the "
                         "same table; each resumes from its own high-water "
-                        "(batch mode only)")
+                        "(batch and stream modes; losers of the manifest "
+                        "CAS re-plan/retry)")
     p.add_argument("--quarantine-dir", default=None,
                    help="where --expect violators land, one overwritten "
                         "parquet dir per batch id (replay-safe)")
@@ -387,9 +388,6 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--expect requires --quarantine-dir (violators "
                              "are never silently dropped)")
 
-    if args.source is not None and args.mode != "batch":
-        raise SystemExit("--source is batch-mode only (the stream bridge "
-                         "tracks offsets in its own checkpoint)")
     if args.mode == "batch":
         results = ingest_changelog(
             spark,
@@ -422,6 +420,7 @@ def main(argv: list[str] | None = None) -> int:
             post_apply=sig_hook,
             constraints=constraints,
             check_quarantine_dir=args.quarantine_dir,
+            channel=args.source,
         )
 
     if args.compact_after:

@@ -293,3 +293,18 @@ def test_concurrent_stream_and_batch_writer_one_table(spark, tmp_path):
     assert table.last_committed_offset("A") == 3999
     assert table.last_committed_offset("B") == 3999
     _assert_equals_union_oracle(spark, table, log_a, log_b)
+
+
+def test_stream_channel_refuses_derived_sinks(spark, tmp_path):
+    """Same honesty contract as the CLI: derived tables are single-writer,
+    so a named streaming channel with a post_apply hook is refused up
+    front (before any catch-up side effect)."""
+    from glad_tiles_pipeline_spark.streaming import stream_ingest
+
+    log = _write_log(spark, str(tmp_path / "a"), 100, "A", seed=41)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="named channel.*post_apply"):
+        stream_ingest(
+            spark, table, log, str(tmp_path / "ck"), channel="A",
+            post_apply=lambda df, bid, off: None,
+        )

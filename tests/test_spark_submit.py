@@ -104,3 +104,58 @@ def test_cli_expect_and_matview(tmp_path):
     assert summary["events_read"] + summary["quarantined"] == 2000
     # the view landed beside the table and matches a live recompute
     assert os.path.exists(os.path.join(str(tmp_path / "mv"), "manifests"))
+
+
+def test_cli_stream_mode_named_source(tmp_path):
+    """--source now reaches the stream bridge as its offset channel: two
+    sequential stream-mode invocations with different sources into one
+    table both land (namespaced fencing ids), and combining --source with
+    a derived sink stays refused."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+
+    def run(extra, check=True):
+        out = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "scripts", "ingest.py"),
+                "--table", str(tmp_path / "table"),
+                "--n-buckets", "4",
+                "--batch-size", "1000",
+                "--master", "local[4]",
+                "--shuffle-partitions", "8",
+                "--mode", "stream",
+            ] + extra,
+            cwd=str(tmp_path),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        if check:
+            assert out.returncode == 0, out.stderr[-3000:]
+        return out
+
+    run(["--changelog", str(tmp_path / "log_a"), "--create",
+         "--generate-events", "1500", "--source", "A",
+         "--checkpoint", str(tmp_path / "ck_a")])
+    run(["--changelog", str(tmp_path / "log_b"),
+         "--generate-events", "1500", "--source", "B",
+         "--checkpoint", str(tmp_path / "ck_b")])
+
+    import sys as _sys
+    _sys.path.insert(0, REPO)
+    from glad_tiles_pipeline_spark.plans.lake import LakeTable
+
+    table = LakeTable(str(tmp_path / "table"))
+    assert table.last_committed_offset("A") == 1499
+    assert table.last_committed_offset("B") == 1499
+    assert table.batch_committed("src-A-s0-1499") is not None
+    assert table.batch_committed("src-B-s0-1499") is not None
+
+    out = run(["--changelog", str(tmp_path / "log_a"), "--source", "A",
+               "--signature-index", str(tmp_path / "sig"),
+               "--checkpoint", str(tmp_path / "ck_a")], check=False)
+    assert out.returncode != 0
+    assert "--source cannot be combined with derived sinks" in (
+        out.stderr + out.stdout
+    )
