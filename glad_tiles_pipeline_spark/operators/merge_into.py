@@ -145,6 +145,7 @@ def merge_into(
     insert_condition: "Column | str | None" = None,
     merge_mode: str = "cow",
     use_arrow_udfs: bool = True,
+    conflict_retries: int = 0,
 ) -> dict:
     """Run one declarative MERGE of ``source`` into ``table``.
 
@@ -155,7 +156,16 @@ def merge_into(
     ``when_matched_update={"n_chars": "t.n_chars + s.n_chars"}``.
     Returns ``apply_batch``'s summary dict extended with the merge's own
     counters (source_rows, matched/updated/deleted/inserted,
-    buckets_read).  Idempotent on ``batch_id`` like every commit."""
+    buckets_read).  Idempotent on ``batch_id`` like every commit.
+
+    ``conflict_retries`` (OCC under concurrent writers): losing the
+    manifest CAS means the clause verdicts and ``commit_seq`` were derived
+    against a head another writer has since replaced — a blind re-apply
+    could merge stale target values, so each retry RECOMPILES the whole
+    statement against the new head (serializable: the winning merge is
+    equivalent to one that ran entirely after the conflicting commit).
+    The loser's staged files become vacuum orphans; 0 keeps the
+    raise-to-caller behavior."""
     if not (when_matched_update or when_matched_delete or when_not_matched_insert):
         raise ValueError("MERGE with no WHEN clause does nothing — refused")
 
@@ -266,14 +276,33 @@ def merge_into(
     )
 
     from glad_tiles_pipeline_spark.operators.merge import apply_batch
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict
 
     prev_hi = table.last_committed_offset()
-    out = apply_batch(
-        spark, table, events, batch_id,
-        merge_mode=merge_mode,
-        use_arrow_udfs=use_arrow_udfs,
-        offsets={"lo": prev_hi + 1, "hi": prev_hi},
-    )
+    try:
+        out = apply_batch(
+            spark, table, events, batch_id,
+            merge_mode=merge_mode,
+            use_arrow_udfs=use_arrow_udfs,
+            offsets={"lo": prev_hi + 1, "hi": prev_hi},
+        )
+    except CommitConflict:
+        if conflict_retries <= 0:
+            raise
+        # full recompile against the new head (see docstring) — recursion
+        # re-runs the live read, clause arithmetic, and commit_seq
+        return merge_into(
+            spark, table, source, batch_id,
+            when_matched_update=when_matched_update,
+            matched_condition=matched_condition,
+            when_matched_delete=when_matched_delete,
+            delete_condition=delete_condition,
+            when_not_matched_insert=when_not_matched_insert,
+            insert_condition=insert_condition,
+            merge_mode=merge_mode,
+            use_arrow_udfs=use_arrow_udfs,
+            conflict_retries=conflict_retries - 1,
+        )
     out["buckets_read"] = len(affected)
     out["merge_commit_seq"] = commit_seq
     return out

@@ -68,6 +68,7 @@ def _compile_rowop(
     merge_mode: str,
     use_arrow_udfs: bool,
     repos=None,
+    conflict_retries: int = 0,
 ) -> dict:
     """Shared compile: live read → predicate filter → one event per
     matched row (op 'D' when ``set_exprs`` is None, else op 'U' with the
@@ -104,14 +105,30 @@ def _compile_rowop(
     events = matched.select(*cols)
 
     from glad_tiles_pipeline_spark.operators.merge import apply_batch
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict
 
     prev_hi = table.last_committed_offset()
-    out = apply_batch(
-        spark, table, events, batch_id,
-        merge_mode=merge_mode,
-        use_arrow_udfs=use_arrow_udfs,
-        offsets={"lo": prev_hi + 1, "hi": prev_hi},
-    )
+    try:
+        out = apply_batch(
+            spark, table, events, batch_id,
+            merge_mode=merge_mode,
+            use_arrow_udfs=use_arrow_udfs,
+            offsets={"lo": prev_hi + 1, "hi": prev_hi},
+        )
+    except CommitConflict:
+        if conflict_retries <= 0:
+            raise
+        # OCC loser: the matched set, SET-expression inputs, and
+        # commit_seq were read at a head another writer has since
+        # replaced — recurse to RECOMPILE the whole op against the new
+        # head (serializable; a blind re-apply could resurrect stale
+        # values).  This attempt's staged files become vacuum orphans.
+        return _compile_rowop(
+            spark, table, condition, batch_id,
+            set_exprs=set_exprs, merge_mode=merge_mode,
+            use_arrow_udfs=use_arrow_udfs, repos=repos,
+            conflict_retries=conflict_retries - 1,
+        )
     out["rowop_commit_seq"] = commit_seq
     return out
 
@@ -125,15 +142,20 @@ def delete_where(
     merge_mode: str = "cow",
     use_arrow_udfs: bool = True,
     repos=None,
+    conflict_retries: int = 0,
 ) -> dict:
     """``DELETE FROM table WHERE condition`` — tombstone every current row
     matching ``condition`` (a Column or SQL string over the table's
     current-schema column names; ``None`` deletes all rows).  Returns
-    ``apply_batch``'s summary dict; idempotent on ``batch_id``."""
+    ``apply_batch``'s summary dict; idempotent on ``batch_id``.
+    ``conflict_retries``: under concurrent writers, a lost manifest CAS
+    recompiles the whole op against the new head (serializable OCC, like
+    ``merge_into``) up to N times before surfacing the conflict."""
     return _compile_rowop(
         spark, table, condition, batch_id,
         set_exprs=None, merge_mode=merge_mode,
         use_arrow_udfs=use_arrow_udfs, repos=repos,
+        conflict_retries=conflict_retries,
     )
 
 
@@ -147,12 +169,15 @@ def update_where(
     merge_mode: str = "cow",
     use_arrow_udfs: bool = True,
     repos=None,
+    conflict_retries: int = 0,
 ) -> dict:
     """``UPDATE table SET col = expr, ... WHERE condition`` — re-emit every
     matching row at the next commit_seq with the set-expressions applied
     (expressions see the row's CURRENT values; unnamed payload columns
     keep theirs).  Returns ``apply_batch``'s summary dict; idempotent on
-    ``batch_id``."""
+    ``batch_id``.  ``conflict_retries``: a lost manifest CAS recompiles
+    against the new head (serializable OCC, like ``merge_into``) up to N
+    times — essential here, since SET expressions read current values."""
     if not set_exprs:
         raise ValueError("UPDATE with no SET expressions does nothing — "
                          "refused")
@@ -162,4 +187,5 @@ def update_where(
         spark, table, condition, batch_id,
         set_exprs=set_exprs, merge_mode=merge_mode,
         use_arrow_udfs=use_arrow_udfs, repos=repos,
+        conflict_retries=conflict_retries,
     )

@@ -232,3 +232,64 @@ def test_content_sha_recomputed_on_updated_content(spark, tmp_path):
     row = table.scan(spark).collect()[0]
     assert row["content"] == "new body"
     assert row["content_sha"] == hashlib.sha256(b"new body").hexdigest()
+
+
+def test_merge_conflict_retry_recompiles_against_new_head(
+    spark, tmp_path, monkeypatch
+):
+    """Serializable OCC for MERGE: clause arithmetic reads target values
+    (t.n_chars), so a retry after a lost CAS must recompile against the
+    interleaved writer's commit, not re-apply the stale verdicts."""
+    from pyspark.sql import Row
+
+    from glad_tiles_pipeline_spark.operators import merge as merge_mod
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict
+
+    table = _seed_table(spark, tmp_path / "t", merge_mode="mor")
+    src = spark.createDataFrame([("c", "a", "en", 1)], DOC_SCHEMA)
+
+    real_apply = merge_mod.apply_batch
+    state = {"interleaved": False, "conflicts": 0}
+
+    def racing_apply(spark_, table_, events, batch_id, **kw):
+        if batch_id.startswith("m-") and not state["interleaved"]:
+            state["interleaved"] = True
+            # a concurrent CDC batch re-states the target row: n_chars 100
+            seq = max_commit_seq(spark, LakeTable(str(tmp_path / "t")))
+            ev = spark.createDataFrame(
+                [Row(offset=100, commit_seq=seq + 5, op="U", repo="c",
+                     path="a", lang="en", n_chars=100, control=None)],
+                EVENT_SCHEMA,
+            )
+            real_apply(spark, LakeTable(str(tmp_path / "t")), ev,
+                       "interleaved-b100", merge_mode="mor",
+                       offsets={"lo": 100, "hi": 100})
+            state["conflicts"] += 1
+            raise CommitConflict("lost the race to the interleaved batch")
+        return real_apply(spark_, table_, events, batch_id, **kw)
+
+    monkeypatch.setattr(merge_mod, "apply_batch", racing_apply)
+
+    with pytest.raises(CommitConflict):
+        merge_into(
+            spark, table, src, "m-noretry",
+            when_matched_update={"n_chars": "t.n_chars + s.n_chars"},
+            merge_mode="mor",
+        )
+    assert state["conflicts"] == 1
+    state["interleaved"] = False
+
+    out = merge_into(
+        spark, LakeTable(str(tmp_path / "t")), src, "m-retry",
+        when_matched_update={"n_chars": "t.n_chars + s.n_chars"},
+        merge_mode="mor", conflict_retries=2,
+    )
+    assert not out.get("skipped")
+    assert state["conflicts"] == 2
+    got = {
+        (r["doc_id"]): r["n_chars"]
+        for r in LakeTable(str(tmp_path / "t")).scan(spark).collect()
+    }
+    # serializable order: interleaved (n_chars=100) THEN merge (+1) — a
+    # blind re-apply of the stale verdict would leave 11
+    assert got["a"] == 101

@@ -169,3 +169,76 @@ def test_repos_prune_matches_unpruned_result(spark, tmp_path):
     _assert_same(t1.scan(spark).select(COLS), t2.scan(spark).select(COLS))
 # the registered EXTRA query (rowops_update_delete) runs against its
 # DuckDB oracle via the parametrized tests/test_queries_oracle.py sweep
+
+
+def test_update_conflict_retry_recompiles_against_new_head(
+    spark, tmp_path, monkeypatch
+):
+    """Serializable OCC: an UPDATE that loses the manifest CAS to a
+    concurrent CDC batch must RECOMPILE against the new head — its SET
+    expressions read current values, so a blind re-apply of the stale
+    events would resurrect the pre-conflict content.  Simulated: the
+    first apply attempt lands a real interleaved commit (changing the
+    target row) and then loses the race; the retry must see it."""
+    import datetime
+
+    from glad_tiles_pipeline_spark.operators import merge as merge_mod
+    from glad_tiles_pipeline_spark.plans.lake import CommitConflict
+    from glad_tiles_pipeline_spark.sources.changelog import CHANGE_SCHEMA
+
+    table, _ = _seeded(spark, tmp_path, merge_mode="mor")
+    victim = (
+        table.scan(spark)
+        .filter(F.col("content").isNotNull())
+        .select("repo", "path")
+        .first()
+    )
+    from glad_tiles_pipeline_spark.operators.merge_into import max_commit_seq
+
+    hi = table.last_committed_offset()
+    seq = max_commit_seq(spark, table)
+    interleave = str(tmp_path / "interleave")
+    spark.createDataFrame(
+        [(hi + 1, int(seq) + 5, "c-x", "M", victim["repo"], victim["path"],
+          "py", "INTERLEAVED", datetime.datetime(2024, 1, 1), 1, None)],
+        CHANGE_SCHEMA,
+    ).write.parquet(interleave)
+
+    real_apply = merge_mod.apply_batch
+    state = {"interleaved": False, "conflicts": 0}
+
+    def racing_apply(spark_, table_, events, batch_id, **kw):
+        if batch_id.startswith("upd-") and not state["interleaved"]:
+            state["interleaved"] = True
+            ingest_changelog(spark, LakeTable(str(tmp_path / "t")),
+                             interleave, merge_mode="mor")
+            state["conflicts"] += 1
+            raise CommitConflict("lost the race to the interleaved batch")
+        return real_apply(spark_, table_, events, batch_id, **kw)
+
+    monkeypatch.setattr(merge_mod, "apply_batch", racing_apply)
+
+    cond = (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+
+    # without retries the conflict surfaces to the caller
+    with pytest.raises(CommitConflict):
+        update_where(spark, table, {"content": "concat(content, '!')"},
+                     cond, "upd-noretry", merge_mode="mor")
+    assert state["conflicts"] == 1
+    state["interleaved"] = False  # next first attempt loses again
+
+    out = update_where(
+        spark, LakeTable(str(tmp_path / "t")),
+        {"content": "concat(content, '!')"}, cond,
+        "upd-retry", merge_mode="mor", conflict_retries=2,
+    )
+    assert not out.get("skipped")
+    assert state["conflicts"] == 2
+    row = (
+        LakeTable(str(tmp_path / "t")).scan(spark).filter(cond)
+        .select("content", "content_sha").collect()[0]
+    )
+    # the retry recompiled: SET read the INTERLEAVED value, and the
+    # derived sha was recomputed from the new content
+    assert row["content"] == "INTERLEAVED!"
+    assert row["content_sha"] == hashlib.sha256(b"INTERLEAVED!").hexdigest()
