@@ -86,6 +86,8 @@ def stream_ingest(
     constraints: dict | None = None,
     check_quarantine_dir: str | None = None,
     channel: str | None = None,
+    compact_every: int | None = None,
+    compact_policy: dict | None = None,
     **apply_kwargs,
 ) -> list[dict]:
     """Drain the changelog into the lake table via foreachBatch (T6).
@@ -102,12 +104,24 @@ def stream_ingest(
     id and is dropped); the offset range keeps fencing tied to what the
     batch actually holds, and re-merging previously-seen events under a
     wider range is harmless by LWW idempotence.
+
+    ``compact_every`` (in-loop maintenance, the batch planner's knob for
+    the stream): after every K APPLIED micro-batches, run POLICY-DRIVEN
+    compaction — ``plan_compaction`` picks only the buckets whose
+    merge-on-read delta count exceeds the read-amplification threshold
+    (override thresholds via ``compact_policy``, kwargs for
+    ``plan_compaction``), so each maintenance round stays O(step) and a
+    continuously-running stream writer never accumulates unbounded
+    deltas.  A maintenance-time ``CommitConflict`` (lost a race to a
+    concurrent writer) is an optimization failure, not an ingest failure
+    — skipped, retried at the next interval.
     """
     results: list[dict] = []
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
         post_apply=post_apply, constraints=constraints,
         check_quarantine_dir=check_quarantine_dir, channel=channel,
+        compact_every=compact_every, compact_policy=compact_policy,
     )
 
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
@@ -161,6 +175,8 @@ def stream_ingest_continuous(
     constraints: dict | None = None,
     check_quarantine_dir: str | None = None,
     channel: str | None = None,
+    compact_every: int | None = None,
+    compact_policy: dict | None = None,
     **apply_kwargs,
 ):
     """The production loop: the SAME query as ``stream_ingest`` under a
@@ -179,6 +195,7 @@ def stream_ingest_continuous(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
         post_apply=post_apply, constraints=constraints,
         check_quarantine_dir=check_quarantine_dir, channel=channel,
+        compact_every=compact_every, compact_policy=compact_policy,
     )
     events = _resolve_source(spark, changelog_dir, source, max_files_per_trigger)
     events = with_stream_hygiene(events, watermark=watermark, dedup_keys=dedup_keys)
@@ -202,6 +219,8 @@ def _make_foreach_batch(
     constraints: dict | None = None,
     check_quarantine_dir: str | None = None,
     channel: str | None = None,
+    compact_every: int | None = None,
+    compact_policy: dict | None = None,
 ):
     if constraints is not None and check_quarantine_dir is None:
         raise ValueError(
@@ -231,6 +250,7 @@ def _make_foreach_batch(
         )
     apply_kwargs = {**apply_kwargs, "source": channel}
     id_prefix = "s" if channel == "default" else f"src-{channel}-s"
+    applied = {"n": 0}  # non-skipped applies, for the compact_every cadence
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
@@ -304,8 +324,33 @@ def _make_foreach_batch(
             # MERGEs with their own fencing).
             res["post"] = post_apply(df, content_batch_id, offsets)
         results.append(res)
+        if compact_every is not None and not res.get("skipped"):
+            applied["n"] += 1
+            if applied["n"] % compact_every == 0:
+                _maintain(spark, table, compact_policy, res)
 
     return _apply
+
+
+def _maintain(spark, table, compact_policy, res) -> None:
+    """Policy-driven in-loop compaction (see ``stream_ingest`` docstring):
+    ``plan_compaction`` selects only read-amplified buckets, so the round
+    is O(step); a lost commit race is skipped — the deltas are still
+    there and the next interval re-plans against the new head."""
+    from glad_tiles_pipeline_spark.operators.merge import (
+        compact,
+        plan_compaction,
+    )
+
+    todo = plan_compaction(table, **(compact_policy or {}))
+    if not todo:
+        return
+    try:
+        res["compacted_buckets"] = compact(spark, table, buckets=todo)[
+            "compacted_buckets"
+        ]
+    except CommitConflict:
+        pass
 
 
 def stream_metrics(

@@ -61,7 +61,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "resolve); mor_dv: positional-delete appends "
                         "(write-time arbitration, resolution-free reads)")
     p.add_argument("--compact-every", type=int, default=None,
-                   help="compact merge-on-read deltas every K batches")
+                   help="compact merge-on-read deltas every K batches "
+                        "(stream mode: policy-driven — only read-amplified "
+                        "buckets, O(step) per round)")
     p.add_argument("--vacuum-keep", type=int, default=None,
                    help="after ingest, expire data files of snapshots older "
                         "than the newest K (manifests/batch history kept)")
@@ -421,6 +423,7 @@ def main(argv: list[str] | None = None) -> int:
             constraints=constraints,
             check_quarantine_dir=args.quarantine_dir,
             channel=args.source,
+            compact_every=args.compact_every,
         )
 
     if args.compact_after:
@@ -469,7 +472,12 @@ def main(argv: list[str] | None = None) -> int:
         "events_read": sum(r["metrics"]["events_read"] for r in applied),
         "winners": sum(r["metrics"]["winners"] for r in applied),
         "snapshot_id": table.current_snapshot_id(),
-        "last_committed_offset": table.last_committed_offset(),
+        # the CHANNEL high-water (monotone max), not the legacy verbatim
+        # scalar: file-source streams can apply windows out of offset
+        # order, leaving the last commit's verbatim window mid-log
+        "last_committed_offset": table.last_committed_offset(
+            args.source or "default"
+        ),
     }
     if constraints is not None:
         summary["quarantined"] = sum(

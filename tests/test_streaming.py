@@ -300,3 +300,39 @@ def test_checkpoint_reset_does_not_lose_data(spark, tmp_path, log_dir):
     # checkpoint lost: fresh dir → epochs restart at 0
     stream_ingest(spark, table, log_dir, str(tmp_path / "ckptB"))
     _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
+
+
+def test_stream_compact_every_bounds_read_amplification(spark, tmp_path, log_dir):
+    """In-loop maintenance for the production stream (the batch planner's
+    compact_every, policy-driven): after every K applied micro-batches,
+    only read-amplified buckets are rewritten; final state still equals
+    the replay oracle and the delta count stays bounded."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    results = stream_ingest(
+        spark, table, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_mode="mor",
+        compact_every=2, compact_policy={"max_delta_files": 1},
+    )
+    applied = [r for r in results if not r.get("skipped")]
+    assert len(applied) >= 4  # several micro-batches, several intervals
+    assert any("compacted_buckets" in r for r in applied)
+    _assert_equals_oracle(spark, table, spark.read.parquet(log_dir))
+
+    # the policy actually bounded amplification: no bucket holds more
+    # delta files than one trailing interval can stack (compact_every
+    # applies × 1 delta file per bucket per batch, vs 6 without)
+    from collections import Counter
+
+    per_bucket = Counter(
+        f["bucket"] for f in table.manifest()["files"]
+        if f.get("kind") in ("delta", "tomb")
+    )
+    assert not per_bucket or max(per_bucket.values()) <= 2, per_bucket
+
+    # resume with the same checkpoint stays a no-op (maintenance commits
+    # don't disturb the fencing or the offset high-water)
+    again = stream_ingest(
+        spark, table, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_mode="mor", compact_every=2,
+    )
+    assert [r for r in again if not r.get("skipped")] == []
