@@ -1333,6 +1333,83 @@ def q_matview_repo_stats(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type 2 history materialization (operators/scd2.py, X15 — DLT
+    ``APPLY CHANGES ... STORED AS SCD TYPE 2`` parity): every key keeps
+    every version with its validity window in LWW ``(seq, off)`` order,
+    maintained incrementally by pruned timeline recompute through the
+    same post_apply seam as the other derived tables.  Three generations
+    applied THROUGH the real history table exercise the hard cases: a
+    seed, a later batch with re-ingests + deletes, then a LATE batch
+    (seq 3 arriving after seq 5) whose versions must slot mid-timeline —
+    closing the seed's windows and being closed by the already-stored
+    seq-5 versions.  Oracle: DuckDB recomputes the definitional
+    ``lead() OVER (PARTITION BY key ORDER BY seq, off)`` from the same
+    event set.  Payload columns are named ``langid``/``body`` so the
+    engine's lang normalization stays out of the comparison (the
+    normalization-coupled spelling is pytest-verified in
+    tests/test_scd2.py)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.scd2 import (
+        create_scd2_history,
+        read_scd2,
+        refresh_scd2,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = ["langid", "body"]
+    root = tempfile.mkdtemp(prefix="scd2_")
+    history = create_scd2_history(
+        root + "/h",
+        [("langid", T.StringType()), ("body", T.StringType())],
+        n_buckets=8,
+    )
+
+    def _ev(df, seq, op, off_base, body_col):
+        return df.select(
+            (F.lit(off_base) + F.col("doc_id")).cast("long").alias("offset"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            F.lit(op).alias("op"),
+            F.lit("docs").alias("repo"),
+            F.format_string("%012d", F.col("doc_id")).alias("path"),
+            F.col("lang").alias("langid"),
+            body_col.alias("body"),
+            F.lit(None).cast("string").alias("control"),
+        )
+
+    gens = [
+        # seed: every document at seq 1
+        _ev(docs, 1, "U", 0, F.col("text")),
+        # seq 5: re-ingest %10==0 with new content, delete %13==5 (the
+        # overlap — %10==0 AND %13==5 — gets BOTH, U then D by offset)
+        _ev(docs.filter(F.col("doc_id") % 10 == 0), 5, "U", 10**9,
+            F.concat(F.col("text"), F.lit(" v5"))).unionByName(
+            _ev(docs.filter(F.col("doc_id") % 13 == 5), 5, "D",
+                15 * 10**8, F.lit(None).cast("string"))
+        ),
+        # LATE batch: seq 3 arrives after seq 5 — its versions must split
+        # the stored windows in place (%17==2 keys gain a mid-timeline
+        # version even when untouched at seq 5)
+        _ev(docs.filter(F.col("doc_id") % 10 == 0), 3, "U", 2 * 10**9,
+            F.concat(F.col("text"), F.lit(" v3"))).unionByName(
+            _ev(docs.filter(F.col("doc_id") % 17 == 2), 3, "U",
+                25 * 10**8, F.concat(F.col("text"), F.lit(" x3")))
+        ),
+    ]
+    for i, ev in enumerate(gens):
+        refresh_scd2(spark, history, ev, payload, f"scd2-gen{i}",
+                     offsets={"lo": i * 10**9, "hi": (i + 1) * 10**9 - 1})
+    return (
+        read_scd2(spark, history)
+        .select("rpath", "v_seq", "v_off", "langid", "body",
+                "valid_to_seq", "valid_to_off", "is_current")
+        .orderBy("rpath", "v_seq", "v_off")
+    )
+
+
 def q_constraints_quarantine(spark, sf_dir):
     """Declarative CHECK constraints (operators/constraints.py, X14 — the
     DLT-expectation parity surface): events violating any named predicate
@@ -2150,6 +2227,47 @@ _ALL_ORACLES: dict[str, str] = {
                CAST(sum(length(body)) AS BIGINT) AS total_chars,
                CAST(count(DISTINCT langid) AS BIGINT) AS n_langs
         FROM live GROUP BY grp ORDER BY grp""",
+    # definitional SCD2 recompute: the same five event generations (seed,
+    # seq-5 re-ingest + delete, LATE seq-3 arrivals) windowed by
+    # lead() OVER (PARTITION BY key ORDER BY seq, off) — delete markers
+    # close windows but never appear as versions
+    "scd2_history": """
+        WITH ev AS (
+            SELECT CAST(doc_id AS BIGINT) AS v_off,
+                   CAST(1 AS BIGINT) AS v_seq, 'U' AS op,
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rpath,
+                   lang AS langid, text AS body
+            FROM documents
+            UNION ALL
+            SELECT CAST(1000000000 + doc_id AS BIGINT), 5, 'U',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   lang, text || ' v5'
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(1500000000 + doc_id AS BIGINT), 5, 'D',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM documents WHERE doc_id % 13 = 5
+            UNION ALL
+            SELECT CAST(2000000000 + doc_id AS BIGINT), 3, 'U',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   lang, text || ' v3'
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(2500000000 + doc_id AS BIGINT), 3, 'U',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   lang, text || ' x3'
+            FROM documents WHERE doc_id % 17 = 2),
+        win AS (
+            SELECT *,
+                   lead(v_seq) OVER w AS valid_to_seq,
+                   lead(v_off) OVER w AS valid_to_off,
+                   (lead(v_seq) OVER w IS NULL AND op <> 'D') AS is_current
+            FROM ev WINDOW w AS (PARTITION BY rpath ORDER BY v_seq, v_off))
+        SELECT rpath, v_seq, v_off, langid, body,
+               valid_to_seq, valid_to_off, is_current
+        FROM win WHERE op <> 'D'
+        ORDER BY rpath, v_seq, v_off""",
     # the same MERGE recomputed declaratively: matched rows delete when
     # n_chars % 7 = 0 (clause precedence), update when % 3 <> 1 (else
     # untouched), source-only rows insert when % 5 <> 2
@@ -2320,6 +2438,7 @@ EXTRA_QUERIES = {
     "merge_into_upsert": q_merge_into_upsert,
     "rowops_update_delete": q_rowops_update_delete,
     "matview_repo_stats": q_matview_repo_stats,
+    "scd2_history": q_scd2_history,
     "constraints_quarantine": q_constraints_quarantine,
     "text_search_terms": q_text_search_terms,
     "text_search_bm25": q_text_search_bm25,

@@ -132,6 +132,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="aggregate column for --matview (repeatable), e.g. "
                         "'n_paths=count(*)' or "
                         "'total_chars=sum(length(content))'")
+    p.add_argument("--scd2", default=None,
+                   help="maintain an SCD Type 2 history of the CDC payload "
+                        "(lake table at this root, created if missing) from "
+                        "the same ingest — every (repo, path) version with "
+                        "its LWW validity window, pruned timeline recompute "
+                        "through the same hook seam, fencing and catch-up "
+                        "story as the derived indexes")
     p.add_argument("--expect", action="append", default=None,
                    metavar="NAME=SQL_EXPR",
                    help="CHECK constraint (repeatable): rows where the SQL "
@@ -258,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.source is not None and any(
         a is not None
-        for a in (args.signature_index, args.token_index, args.matview)
+        for a in (args.signature_index, args.token_index, args.matview,
+                  args.scd2)
     ):
         # refused BEFORE hook setup: building a hook runs the derived-sink
         # catch-up, a side effect a refused invocation must not have.
@@ -267,16 +275,16 @@ def main(argv: list[str] | None = None) -> int:
         # named-source run could catch up against another source's window
         # (same honesty contract as --branch).
         raise SystemExit("--source cannot be combined with derived sinks "
-                         "(--signature-index/--token-index/--matview): "
-                         "their catch-up is addressed by the single-writer "
-                         "offset scalar.  Maintain derived tables from the "
-                         "unnamed (single-writer) ingest.")
+                         "(--signature-index/--token-index/--matview/"
+                         "--scd2): their catch-up is addressed by the "
+                         "single-writer offset scalar.  Maintain derived "
+                         "tables from the unnamed (single-writer) ingest.")
     hooks = []
     sig_index = None
     if (args.matview is not None) != bool(args.matview_agg):
         raise SystemExit("--matview and --matview-agg go together")
     if (args.signature_index is not None or args.token_index is not None
-            or args.matview is not None):
+            or args.matview is not None or args.scd2 is not None):
         if args.branch is not None:
             # staged work may be audit-rejected; a shared index must never
             # hold signatures of content main readers can't see.  Publish
@@ -365,6 +373,29 @@ def main(argv: list[str] | None = None) -> int:
 
             _, h = _derived(args.matview, _create_mv, _mv_hook,
                             "materialized view")
+            hooks.append(h)
+        if args.scd2 is not None:
+            from pyspark.sql import types as T
+
+            from glad_tiles_pipeline_spark.operators.scd2 import (
+                create_scd2_history,
+                scd2_hook,
+            )
+
+            scd2_payload = ["commit", "lang", "content"]
+
+            def _create_scd2(root, n_buckets):
+                return create_scd2_history(
+                    root,
+                    [(n, T.StringType()) for n in scd2_payload],
+                    n_buckets=min(n_buckets, 16),
+                )
+
+            def _scd2_hook(spark_, idx):
+                return scd2_hook(spark_, idx, scd2_payload)
+
+            _, h = _derived(args.scd2, _create_scd2, _scd2_hook,
+                            "scd2 history")
             hooks.append(h)
 
     if not hooks:

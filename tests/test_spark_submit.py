@@ -89,6 +89,7 @@ def test_cli_expect_and_matview(tmp_path):
             "--matview", str(tmp_path / "mv"),
             "--matview-agg", "n_paths=count(*)",
             "--matview-agg", "total_chars=sum(length(content))",
+            "--scd2", str(tmp_path / "hist"),
         ],
         cwd=str(tmp_path),
         env=env,
@@ -102,8 +103,9 @@ def test_cli_expect_and_matview(tmp_path):
     )
     assert summary["quarantined"] > 0
     assert summary["events_read"] + summary["quarantined"] == 2000
-    # the view landed beside the table and matches a live recompute
+    # the view and the SCD2 history landed beside the table
     assert os.path.exists(os.path.join(str(tmp_path / "mv"), "manifests"))
+    assert os.path.exists(os.path.join(str(tmp_path / "hist"), "manifests"))
 
 
 def test_cli_stream_mode_named_source(tmp_path):
