@@ -116,11 +116,17 @@ def bench_cdc_ingest(spark, n_events: int, workdir: str, reps: int) -> dict:
     # (label, merge_mode, use_arrow_udfs): the headline is the spec-mandated
     # Arrow-UDF surface; `mor_codegen` times the provably-equivalent JVM
     # expression twin so the cost of the Python exchange stays visible.
+    # `mor_scd2` times the SAME mor ingest with the SCD2 history hook
+    # attached (operators/scd2.py) — the per-batch price of maintaining a
+    # full version history beside the table, kept a visible line item
+    # (history writes every event, not just winners, plus the timeline
+    # re-window; measured ~1.8x mor at 500k events when added).
     variants = [
         ("cow", "cow", True),
         ("mor", "mor", True),
         ("mor_codegen", "mor", False),
         ("mor_dv", "mor_dv", True),
+        ("mor_scd2", "mor", True),
     ]
     samples: dict[str, list[float]] = {label: [] for label, _, _ in variants}
     applied: dict[str, int] = {}
@@ -129,10 +135,26 @@ def bench_cdc_ingest(spark, n_events: int, workdir: str, reps: int) -> dict:
         for label, mode, arrow in variants:
             lake_dir = os.path.join(workdir, f"lake_{label}_{rep}")
             table = LakeTable.create(lake_dir, n_buckets=32)
+            hook = None
+            if label == "mor_scd2":
+                from pyspark.sql import types as T
+
+                from glad_tiles_pipeline_spark.operators.scd2 import (
+                    create_scd2_history,
+                    scd2_hook,
+                )
+
+                hist = create_scd2_history(
+                    os.path.join(workdir, f"hist_{rep}"),
+                    [(n, T.StringType()) for n in ("commit", "lang",
+                                                   "content")],
+                    n_buckets=32,
+                )
+                hook = scd2_hook(spark, hist, ["commit", "lang", "content"])
             t0 = time.monotonic()
             results = ingest_changelog(
                 spark, table, log_dir, batch_size=batch_size,
-                merge_mode=mode, use_arrow_udfs=arrow,
+                merge_mode=mode, use_arrow_udfs=arrow, post_apply=hook,
             )
             if mode in ("mor", "mor_dv"):
                 compact(spark, table)
@@ -142,6 +164,9 @@ def bench_cdc_ingest(spark, n_events: int, workdir: str, reps: int) -> dict:
                 r.get("metrics", {}).get("winners", 0) for r in results
             )
             shutil.rmtree(lake_dir, ignore_errors=True)
+            if label == "mor_scd2":
+                shutil.rmtree(os.path.join(workdir, f"hist_{rep}"),
+                              ignore_errors=True)
     for label in samples:
         s = _summ(samples[label])
         out[label] = {

@@ -183,6 +183,7 @@ def scd2_refresh_events(
     batch: DataFrame,
     payload_cols: "list[str]",
     version: int,
+    _pin: "list | None" = None,
 ) -> DataFrame:
     """History change events for one micro-batch: re-window the touched
     keys' timelines (stored ∪ batch) and upsert the rows that are new or
@@ -194,7 +195,11 @@ def scd2_refresh_events(
     re-window shuffles O(touched timelines); the changed-only filter is a
     join back against the same stored frame on the row identity, so an
     idempotent replay emits ZERO events (gate-tested) while still
-    committing the window's high-water."""
+    committing the window's high-water.  The stored frame feeds BOTH the
+    union leg and the changed-only leg: ``refresh_scd2`` passes ``_pin``
+    so it is persisted once (single pruned read) and unpersisted after
+    the commit — without it the plan scans the history files twice
+    (verified on the executed plan)."""
     ev_cols = ["offset", "commit_seq", "op", "repo", "path", *payload_cols]
     fresh = _canon_payload(
         batch.filter(F.col("control").isNull()).select(*ev_cols),
@@ -220,6 +225,9 @@ def scd2_refresh_events(
             F.col("valid_to_off").alias("_old_to_off"),
             F.col("is_current").alias("_old_current"),
         )
+        if _pin is not None:
+            stored = stored.persist()
+            _pin.append(stored)
         union = fresh.unionByName(
             stored.drop("_old_to_seq", "_old_to_off", "_old_current")
         ).distinct()
@@ -277,11 +285,17 @@ def refresh_scd2(
     from glad_tiles_pipeline_spark.operators.merge_into import max_commit_seq
 
     version = max_commit_seq(spark, history) + 1
-    ev = scd2_refresh_events(spark, history, batch, payload_cols, version)
-    return apply_batch(
-        spark, history, ev, batch_id=batch_id, offsets=offsets,
-        merge_mode=merge_mode, use_arrow_udfs=False,
-    )
+    pin: list = []
+    ev = scd2_refresh_events(spark, history, batch, payload_cols, version,
+                             _pin=pin)
+    try:
+        return apply_batch(
+            spark, history, ev, batch_id=batch_id, offsets=offsets,
+            merge_mode=merge_mode, use_arrow_udfs=False,
+        )
+    finally:
+        for df in pin:
+            df.unpersist()
 
 
 def scd2_hook(

@@ -232,6 +232,29 @@ def test_refresh_read_is_pruned_to_touched_repos(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["is_current"]
 
 
+def test_refresh_plan_shape(spark, tmp_path):
+    """Plan gate: the refresh joins are all hash joins (no cartesian /
+    nested-loop anywhere), and with the pin both the union leg and the
+    changed-only leg read the SAME persisted stored frame — one pruned
+    history materialization per refresh, not two."""
+    log_dir, history = _mk(spark, tmp_path, log_events=2000)
+    events = spark.read.parquet(log_dir)
+    refresh_scd2(spark, history, events, PAYLOAD, "b0",
+                 offsets={"lo": 0, "hi": 1999})
+    pin = []
+    ev = scd2_refresh_events(spark, history, events, PAYLOAD, version=10**6,
+                             _pin=pin)
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert len(pin) == 1
+        assert plan.count("InMemoryTableScan") == 2, plan[:2000]
+    finally:
+        for df in pin:
+            df.unpersist()
+
+
 def test_delete_marker_survives_replay(spark, tmp_path):
     """The stored D row keeps the predecessor closed when a later window
     re-feeds only the predecessor's event (at-least-once catch-up)."""
