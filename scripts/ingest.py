@@ -85,6 +85,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "changelog range is re-applied by the same run)")
     p.add_argument("--show-files", action="store_true",
                    help="print the current snapshot's data-file inventory")
+    p.add_argument("--audit", action="store_true",
+                   help="after all other actions, independently verify the "
+                        "current snapshot's manifest claims (file existence, "
+                        "row counts, stats bracketing, bloom soundness, "
+                        "delete-vector references, batch index, tags) and "
+                        "report findings in the summary; exit 3 on any "
+                        "violation")
     p.add_argument("--incremental-from", type=int, default=None,
                    help="after ingest, print the row-count of the CDC-out "
                         "change feed since this snapshot id")
@@ -528,9 +535,18 @@ def main(argv: list[str] | None = None) -> int:
             ).count()
         except ValueError as e:  # window spans a rewrite (cow/compaction)
             summary["incremental_error"] = str(e)
+    if args.audit:
+        from glad_tiles_pipeline_spark.plans.audit import audit_table
+
+        audit = audit_table(table)
+        summary["audit"] = {"ok": audit["ok"],
+                            "findings": audit["findings"],
+                            "checked": audit["checked"]}
     if args.show_files:
         table.files(spark).show(100, truncate=False)
     print(json.dumps(summary))
+    if args.audit and not summary["audit"]["ok"]:
+        return 3
     if args.show_history:
         for row in table.history(spark).orderBy("snapshot_id").collect():
             print(json.dumps(row.asDict()), file=sys.stderr)
