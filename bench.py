@@ -31,7 +31,7 @@ import tempfile
 import time
 
 # Queries representative of each operator family (SURVEY.md §2); the full
-# 50-query driver matrix (+ the EXTRA_QUERIES spellings, 28 as of round 5)
+# 50-query driver matrix (+ the EXTRA_QUERIES spellings, 29 as of round 5)
 # is correctness-checked by the driver / local DuckDB harness, not timed
 # here.  The two round-2 perf-weak items (embedding near-dup verify, binned
 # range join) are timed explicitly so regressions show up in the artifact;

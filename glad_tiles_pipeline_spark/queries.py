@@ -1410,6 +1410,63 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_scd2_as_of(spark, sf_dir):
+    """Point-in-time read from the SCD2 history alone
+    (operators/scd2.py::scd2_as_of): the version of every key visible at
+    LWW instant (seq=4) — AFTER the late seq-3 arrivals, BEFORE the seq-5
+    re-ingests and deletes — answered by window containment over the
+    stored validity columns, no log replay and no snapshot.  The history
+    is built in ONE refresh here (multi-batch maintenance is covered by
+    ``scd2_history`` and tests/test_scd2.py); the oracle recomputes the
+    same windows and the same containment filter declaratively."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.scd2 import (
+        create_scd2_history,
+        refresh_scd2,
+        scd2_as_of,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="scd2asof_")
+    history = create_scd2_history(
+        root + "/h",
+        [("langid", T.StringType()), ("body", T.StringType())],
+        n_buckets=8,
+    )
+
+    def _ev(df, seq, op, off_base, body_col):
+        return df.select(
+            (F.lit(off_base) + F.col("doc_id")).cast("long").alias("offset"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            F.lit(op).alias("op"),
+            F.lit("docs").alias("repo"),
+            F.format_string("%012d", F.col("doc_id")).alias("path"),
+            F.col("lang").alias("langid"),
+            body_col.alias("body"),
+            F.lit(None).cast("string").alias("control"),
+        )
+
+    ev = (
+        _ev(docs, 1, "U", 0, F.col("text"))
+        .unionByName(_ev(docs.filter(F.col("doc_id") % 10 == 0), 5, "U",
+                         10**9, F.concat(F.col("text"), F.lit(" v5"))))
+        .unionByName(_ev(docs.filter(F.col("doc_id") % 13 == 5), 5, "D",
+                         15 * 10**8, F.lit(None).cast("string")))
+        .unionByName(_ev(docs.filter(F.col("doc_id") % 10 == 0), 3, "U",
+                         2 * 10**9, F.concat(F.col("text"), F.lit(" v3"))))
+    )
+    refresh_scd2(spark, history, ev, ["langid", "body"], "all",
+                 offsets={"lo": 0, "hi": 3 * 10**9})
+    return (
+        scd2_as_of(spark, history, 4)
+        .select("rpath", "v_seq", "v_off", "langid", "body")
+        .orderBy("rpath")
+    )
+
+
 def q_constraints_quarantine(spark, sf_dir):
     """Declarative CHECK constraints (operators/constraints.py, X14 — the
     DLT-expectation parity surface): events violating any named predicate
@@ -2268,6 +2325,39 @@ _ALL_ORACLES: dict[str, str] = {
                valid_to_seq, valid_to_off, is_current
         FROM win WHERE op <> 'D'
         ORDER BY rpath, v_seq, v_off""",
+    # point-in-time containment at instant seq=4: the latest version at or
+    # before 4, not closed at or before 4 (no events carry seq 4, so the
+    # off component of the instant cannot discriminate)
+    "scd2_as_of": """
+        WITH ev AS (
+            SELECT CAST(doc_id AS BIGINT) AS v_off,
+                   CAST(1 AS BIGINT) AS v_seq, 'U' AS op,
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rpath,
+                   lang AS langid, text AS body
+            FROM documents
+            UNION ALL
+            SELECT CAST(1000000000 + doc_id AS BIGINT), 5, 'U',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   lang, text || ' v5'
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(1500000000 + doc_id AS BIGINT), 5, 'D',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM documents WHERE doc_id % 13 = 5
+            UNION ALL
+            SELECT CAST(2000000000 + doc_id AS BIGINT), 3, 'U',
+                   lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                   lang, text || ' v3'
+            FROM documents WHERE doc_id % 10 = 0),
+        win AS (
+            SELECT *, lead(v_seq) OVER w AS valid_to_seq
+            FROM ev WINDOW w AS (PARTITION BY rpath ORDER BY v_seq, v_off))
+        SELECT rpath, v_seq, v_off, langid, body
+        FROM win
+        WHERE op <> 'D' AND v_seq <= 4
+          AND (valid_to_seq IS NULL OR valid_to_seq > 4)
+        ORDER BY rpath""",
     # the same MERGE recomputed declaratively: matched rows delete when
     # n_chars % 7 = 0 (clause precedence), update when % 3 <> 1 (else
     # untouched), source-only rows insert when % 5 <> 2
@@ -2439,6 +2529,7 @@ EXTRA_QUERIES = {
     "rowops_update_delete": q_rowops_update_delete,
     "matview_repo_stats": q_matview_repo_stats,
     "scd2_history": q_scd2_history,
+    "scd2_as_of": q_scd2_as_of,
     "constraints_quarantine": q_constraints_quarantine,
     "text_search_terms": q_text_search_terms,
     "text_search_bm25": q_text_search_bm25,

@@ -196,6 +196,13 @@ def test_long_haul_maintenance_cycles(spark, tmp_path):
             spark, events.filter(F.col("offset") < (c + 1) * B)
         )
         _eq(table.scan(spark), prefix)
+        # S31: every cycle's snapshot also passes the independent audit
+        # (stats bracket the data, blooms sound, DV refs live, batch index
+        # consistent) — maintenance churn must never corrupt a claim
+        from glad_tiles_pipeline_spark.plans.audit import audit_table
+
+        res = audit_table(table)
+        assert res["ok"], res["findings"]
 
     while table.migration() is not None:
         rebucket_step(spark, table, max_buckets=2)
@@ -203,6 +210,10 @@ def test_long_haul_maintenance_cycles(spark, tmp_path):
     oracle_full = oracle_state_df(spark, events)
     _eq(table.scan(spark), oracle_full)
     assert not table.unresolved_buckets()
+    from glad_tiles_pipeline_spark.plans.audit import audit_table
+
+    res = audit_table(table)
+    assert res["ok"], res["findings"]
     k = table.scan(spark).select("repo", "path").first()
     got = table.lookup(spark, k["repo"], k["path"])
     assert got.count() == 1 and len(got.inputFiles()) <= 2
