@@ -81,7 +81,7 @@ def audit_table(
 
     findings: list[dict] = []
     checked = {"files": 0, "rows": 0, "blooms": 0, "dv_refs": 0,
-               "tags": 0, "files_skipped": 0}
+               "sha_rows": 0, "tags": 0, "files_skipped": 0}
 
     def err(code: str, detail: str) -> None:
         findings.append({"level": "error", "code": code, "detail": detail})
@@ -190,6 +190,40 @@ def audit_table(
                             f"{f['path']}: key ({r[k1]!r}, {r[k2]!r}) is "
                             "in the file but its bloom excludes it")
                         break
+
+        # per-row invariant spot-check: content_sha = sha256(content),
+        # recomputed here with hashlib (never the engine's expression) on
+        # a bounded prefix of the file — the north-star equality every
+        # downstream consumer assumes
+        sha_field = content_field = None
+        for fld in m["schemas"].get(str(f.get("schema_version", 1)), []):
+            if fld.get("source") == "content_sha":
+                sha_field = fld["name"]
+            if fld.get("source") == "content":
+                content_field = fld["name"]
+        if (
+            sha_field and content_field and f.get("kind") != "dv"
+            and {sha_field, content_field} <= set(pf.schema_arrow.names)
+        ):
+            import hashlib
+
+            for batch in pf.iter_batches(
+                batch_size=bloom_sample,
+                columns=[content_field, sha_field],
+            ):
+                for r in batch.to_pylist():
+                    c, s = r[content_field], r[sha_field]
+                    checked["sha_rows"] += 1
+                    want_sha = (
+                        hashlib.sha256(c.encode("utf-8")).hexdigest()
+                        if isinstance(c, str) else None
+                    )
+                    if s != want_sha:
+                        err("content_sha_mismatch",
+                            f"{f['path']}: stored {s!r} != sha256(content) "
+                            f"{want_sha!r}")
+                        break
+                break  # one bounded batch per file
 
         # delete-vector references: every kill must point at a live row
         # file of the same snapshot (a dangling kill silently resurrects

@@ -63,6 +63,7 @@ def test_clean_table_audits_clean(audited):
     # carry blooms, and deletes against stored rows produced kill lists
     assert c["blooms"] > 0
     assert c["dv_refs"] > 0
+    assert c["sha_rows"] > 0
     assert c["tags"] == 1
 
 
@@ -147,6 +148,31 @@ def test_dv_dangling_ref_detected(audited):
                    for x in res["findings"])
     finally:
         restore()
+
+
+def test_content_sha_mismatch_detected(audited):
+    """The north-star per-row invariant is spot-checked with hashlib: a
+    stored sha that no longer matches sha256(content) is a finding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = next(f for f in audited.manifest(None)["files"]
+             if f.get("kind") not in ("dv", "tomb") and f["rows"] > 0)
+    full = os.path.join(audited.root, f["path"])
+    original = open(full, "rb").read()
+    t = pq.read_table(full)
+    idx = t.schema.names.index("content_sha")
+    col = t.column("content_sha").to_pylist()
+    col[0] = "deadbeef" * 8
+    t = t.set_column(idx, "content_sha", pa.array(col, pa.string()))
+    pq.write_table(t, full)
+    try:
+        res = audit_table(audited)
+        assert any(x["code"] == "content_sha_mismatch"
+                   for x in res["findings"])
+    finally:
+        open(full, "wb").write(original)
+    assert audit_table(audited)["ok"]
 
 
 def test_tag_dangling_detected(audited):
