@@ -97,6 +97,7 @@ def requeue_quarantine(
     table,
     quarantine_dir: str,
     constraints: "dict[str, str] | None" = None,
+    post_apply=None,
     **apply_kwargs,
 ) -> dict:
     """Re-apply quarantined events after the rules changed (the lifecycle's
@@ -123,6 +124,19 @@ def requeue_quarantine(
     interleave and the address stops meaning "this exact set".)  The offset high-water is NOT advanced — quarantined
     offsets sit below it already (consumed-and-diverted), so the planner's
     resume point must not move.
+
+    ``post_apply``: the same derived-sink hook (composition) the ingest
+    ran with.  Requeued offsets sit BELOW the high-water, so the generic
+    catch-up can never re-feed them to a derived table — the requeue
+    itself must, or the signature/token/matview/scd2 sinks permanently
+    miss the repaired keys.  The hook runs under the requeue's own
+    content-addressed batch id and EVEN WHEN the main apply was fenced as
+    a replay: a crash between the main apply and the hook is recovered by
+    re-running the same requeue (the committed side no-ops on its id, the
+    missed side applies) — the standard asymmetric-crash convergence,
+    addressed here by re-invocation instead of the offset catch-up.
+    Events reach the hook with their ORIGINAL ``(commit_seq, offset)``,
+    so every derived table arbitrates them exactly like the main one.
     """
     import hashlib
 
@@ -156,4 +170,11 @@ def requeue_quarantine(
     )
     res["requeued"] = 0 if res.get("skipped") else int(stats["n"])
     res["still_quarantined"] = n_still_bad
+    if post_apply is not None:
+        # offsets=None → each sink CARRIES ITS OWN high-water forward
+        # (apply_batch's no-advance default).  Passing the table's hi here
+        # would be wrong for a sink that lagged it: the monotone channel
+        # max would jump past windows the sink never saw, and the generic
+        # catch-up would then skip them forever.
+        res["post_apply"] = post_apply(ev, batch_id, None)
     return res

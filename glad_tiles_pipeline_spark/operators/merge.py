@@ -742,11 +742,17 @@ def apply_batch(
         # rare path (planner and stream bridge both pass offsets): the
         # committed high-water mark must cover EVERY consumed offset, not
         # just LWW winners — a losing/control event can hold the batch max,
-        # and undershooting hi makes the next resume re-read the tail
+        # and undershooting hi makes the next resume re-read the tail.
+        # Never REGRESS below the parent's hi either: re-applying old
+        # events (a requeue, a replay) was still consumption — a regressed
+        # verbatim scalar would widen every derived-sink catch-up into a
+        # full re-feed (last_committed_offset reads this verbatim).
         prev_hi = table.manifest(expected_parent)["offsets"]["hi"]
         batch_hi = events.agg(F.max("offset").alias("m")).collect()[0]["m"]
         offsets = {"lo": prev_hi + 1,
-                   "hi": int(batch_hi if batch_hi is not None else prev_hi)}
+                   "hi": max(int(prev_hi),
+                             int(batch_hi if batch_hi is not None
+                                 else prev_hi))}
     metrics = {
         "events_read": events_read,
         "control_events": len(controls),

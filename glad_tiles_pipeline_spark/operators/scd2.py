@@ -205,16 +205,28 @@ def scd2_refresh_events(
         batch.filter(F.col("control").isNull()).select(*ev_cols),
         payload_cols,
     ).distinct()
-    touched = fresh.select("repo", "path").distinct()
-    repos = [r["repo"] for r in touched.select("repo").distinct().collect()]
+    repos = [
+        r["repo"] for r in fresh.select("repo").distinct().collect()
+    ]
 
     stored = history.scan(spark, repos=repos) if repos else None
     if stored is not None:
-        stored = stored.join(
-            touched.withColumnRenamed("path", "rpath"),
-            on=["repo", "rpath"],
-            how="left_semi",
-        ).select(
+        # affected-suffix restriction: a batch can only move the windows
+        # of stored versions AT OR ABOVE its per-key minimum identity,
+        # plus the single BOUNDARY version just below it (its window may
+        # now close into the batch's earliest event).  Everything older
+        # keeps its window verbatim — no new event lands below the batch
+        # minimum, so those rows' successors are unchanged stored rows.
+        # In-order ingest (batch min > every stored version) therefore
+        # re-windows ONE stored row per key: maintenance is O(batch), not
+        # O(timeline); a late event pulls in exactly the suffix it
+        # reorders.
+        bmin = fresh.groupBy("repo", "path").agg(
+            F.min(F.struct(F.col("commit_seq"), F.col("offset"))).alias(
+                "_bmin"
+            )
+        )
+        st = stored.select(
             F.col("v_off").alias("offset"),
             F.col("v_seq").alias("commit_seq"),
             F.col("v_op").alias("op"),
@@ -224,10 +236,22 @@ def scd2_refresh_events(
             F.col("valid_to_seq").alias("_old_to_seq"),
             F.col("valid_to_off").alias("_old_to_off"),
             F.col("is_current").alias("_old_current"),
-        )
+        ).join(bmin, on=["repo", "path"], how="inner")
+        ident = F.struct(F.col("commit_seq"), F.col("offset"))
         if _pin is not None:
-            stored = stored.persist()
-            _pin.append(stored)
+            st = st.persist()
+            _pin.append(st)
+        suffix = st.filter(ident >= F.col("_bmin"))
+        below = st.filter(ident < F.col("_bmin"))
+        bnd = below.groupBy("repo", "path").agg(
+            F.max(F.struct(F.col("commit_seq"), F.col("offset"))).alias(
+                "_bid"
+            )
+        )
+        boundary = below.join(bnd, on=["repo", "path"], how="inner").filter(
+            F.struct(F.col("commit_seq"), F.col("offset")) == F.col("_bid")
+        ).drop("_bid")
+        stored = suffix.unionByName(boundary).drop("_bmin")
         union = fresh.unionByName(
             stored.drop("_old_to_seq", "_old_to_off", "_old_current")
         ).distinct()

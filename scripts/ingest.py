@@ -495,6 +495,9 @@ def main(argv: list[str] | None = None) -> int:
 
         rq = requeue_quarantine(
             spark, table, args.quarantine_dir, constraints=constraints,
+            post_apply=sig_hook,  # derived sinks see requeued events too —
+            # their offsets sit below the high-water, so no catch-up ever
+            # re-feeds them (requeue is the only delivery path)
             merge_mode=args.merge_mode, use_arrow_udfs=args.use_arrow_udfs,
         )
         summary_requeue = {"requeued": rq["requeued"],

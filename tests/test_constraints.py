@@ -222,3 +222,64 @@ def test_requeue_after_relaxing_constraints(spark, tmp_path):
     got_full = table.scan(spark)
     assert got_full.exceptAll(want_full).count() == 0
     assert want_full.exceptAll(got_full).count() == 0
+
+
+def test_requeue_reaches_derived_sinks(spark, tmp_path):
+    """Requeued offsets sit BELOW the high-water, so the generic catch-up
+    can never deliver them to a derived table — the requeue's post_apply
+    is the only path.  Contract: after a requeue with the ingest's hook,
+    the derived view equals a recompute over the repaired table; a
+    crash between the main apply and the hook is recovered by RE-RUNNING
+    the same requeue (main no-ops on its fenced id, the hook applies);
+    no sink's offset high-water moves."""
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.constraints import (
+        requeue_quarantine,
+    )
+    from glad_tiles_pipeline_spark.operators.matview import (
+        create_matview,
+        matview_hook,
+        read_matview,
+    )
+
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "q")
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    view = create_matview(str(tmp_path / "mv"),
+                          [("n_paths", T.LongType())], n_buckets=4)
+    aggs = {"n_paths": F.count("*")}
+    hook = matview_hook(spark, table, view, aggs)
+    ingest_changelog(spark, table, log_dir, batch_size=1000,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir,
+                     post_apply=hook)
+    view_hi = view.last_committed_offset()
+
+    def _view_matches_recompute():
+        want = (table.scan(spark).groupBy(F.col("repo").alias("grp"))
+                .agg(F.count("*").alias("n_paths")))
+        got = read_matview(spark, view)
+        return got.exceptAll(want).count() == 0 \
+            and want.exceptAll(got).count() == 0
+
+    # crash window: requeue WITHOUT the hook — table repaired, view stale
+    res1 = requeue_quarantine(spark, table, qdir, constraints=None)
+    assert res1["requeued"] > 0
+    assert not _view_matches_recompute()
+
+    # recovery = re-run the SAME requeue with the hook: main no-ops on
+    # its fenced id, the hook delivers; view converges
+    res2 = requeue_quarantine(spark, table, qdir, constraints=None,
+                              post_apply=hook)
+    assert res2.get("skipped") and "post_apply" in res2
+    assert _view_matches_recompute()
+
+    # replaying the composed requeue is a no-op on BOTH sinks
+    snap = view.current_snapshot_id()
+    requeue_quarantine(spark, table, qdir, constraints=None,
+                       post_apply=hook)
+    assert view.current_snapshot_id() == snap
+
+    # no high-water moved anywhere
+    assert view.last_committed_offset() == view_hi
+    assert table.last_committed_offset() == view_hi
