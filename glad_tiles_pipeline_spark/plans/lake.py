@@ -1219,6 +1219,68 @@ class LakeTable:
             spark, snapshot_id=snapshot_id, tag=tag, key=(repo, path)
         )
 
+    def fast_count(
+        self,
+        spark: "SparkSession | None" = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Exact live row count WITHOUT a cluster, when the snapshot is
+        RESOLVED (Iceberg count-pushdown parity).  A resolved snapshot
+        (no LWW delta files, no tomb/dv sidecars — CoW always, MoR/mor_dv
+        after compaction) holds one arbitrated row per key, but winning
+        DELETES persist as rows too (``_deleted = true`` memos: a future
+        late event must keep losing to them), so per-file manifest rows
+        over-count.  The answer = manifest rows minus remembered deletes,
+        resolved per file from parquet metadata: the ``_deleted`` boolean
+        column-chunk stats prove most files all-live (max = false) for
+        free, and only delete-containing files read that one RLE boolean
+        column (a few KB) — driver-side footer IO, zero executors, the
+        admin/CLI shape.  An UNRESOLVED snapshot needs LWW arbitration,
+        so the count falls back to the ordinary resolved scan — which
+        requires ``spark``; passing None then raises rather than
+        guessing."""
+        m = self.manifest(snapshot_id)
+        unresolved = any(
+            f.get("delta") or f.get("kind") in ("tomb", "dv")
+            for f in m["files"]
+        )
+        if unresolved:
+            if spark is None:
+                raise ValueError(
+                    "snapshot has unresolved deltas — fast_count needs a "
+                    "SparkSession to fall back to a resolved scan (or "
+                    "compact first)"
+                )
+            return self.scan(spark, snapshot_id=snapshot_id).count()
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in m["files"]:
+            if f["rows"] == 0:
+                continue
+            pf = pq.ParquetFile(os.path.join(self.root, f["path"]))
+            names = pf.schema_arrow.names
+            if "_deleted" not in names:
+                total += f["rows"]
+                continue
+            ci = names.index("_deleted")
+            meta = pf.metadata
+            maybe_deleted = False
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max or st.max:
+                    maybe_deleted = True
+                    break
+            if not maybe_deleted:
+                total += f["rows"]
+                continue
+            col = pf.read(columns=["_deleted"]).column("_deleted")
+            import pyarrow.compute as pc
+
+            n_del = pc.sum(col).as_py() or 0
+            total += f["rows"] - int(n_del)
+        return total
+
     def new_data_dir(self) -> tuple[str, str]:
         """Unique directory for one commit attempt's data files.
         Returns (absolute, relative-to-root)."""
