@@ -88,6 +88,16 @@ def audit_table(
 
     m = table.manifest(snapshot_id)
     sid = m["snapshot_id"]
+    # a snapshot below the vacuum horizon legitimately lost its data
+    # files — auditing it would report expiry as corruption.  Refuse like
+    # scan does (tags pin their snapshots above the horizon, so tagged
+    # history stays auditable).
+    if sid < table.vacuum_horizon():
+        raise ValueError(
+            f"snapshot v{sid} is below the vacuum horizon "
+            f"{table.vacuum_horizon()}; its data files were expired — "
+            "audit a retained snapshot"
+        )
 
     # -- schema registry invariants: unique field ids per version, key
     # fields (ids 1 and 2) present in every version (they refuse to drop)

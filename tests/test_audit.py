@@ -200,6 +200,20 @@ def test_batch_index_inconsistency_detected(audited):
         restore()
 
 
+def test_expired_snapshot_refused_not_reported_as_corruption(spark, tmp_path):
+    """Vacuum legitimately removes an expired snapshot's files — auditing
+    one must refuse (like scan), never report expiry as corruption; the
+    current snapshot stays clean after the vacuum."""
+    log_dir = str(tmp_path / "log")
+    change_log(spark, 2000, n_repos=4, paths_per_repo=20).write.parquet(log_dir)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    ingest_changelog(spark, table, log_dir, batch_size=500, merge_mode="cow")
+    table.vacuum(keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        audit_table(table, snapshot_id=1)
+    assert audit_table(table)["ok"]
+
+
 def test_max_files_cap_is_reported(audited):
     res = audit_table(audited, max_files=2)
     assert res["checked"]["files"] <= 2
