@@ -171,10 +171,15 @@ def requeue_quarantine(
     res["requeued"] = 0 if res.get("skipped") else int(stats["n"])
     res["still_quarantined"] = n_still_bad
     if post_apply is not None:
-        # offsets=None → each sink CARRIES ITS OWN high-water forward
-        # (apply_batch's no-advance default).  Passing the table's hi here
-        # would be wrong for a sink that lagged it: the monotone channel
-        # max would jump past windows the sink never saw, and the generic
-        # catch-up would then skip them forever.
-        res["post_apply"] = post_apply(ev, batch_id, None)
+        # NO_ADVANCE → each sink resolves "keep MY high-water" against its
+        # OWN parent inside apply_batch.  Neither alternative is safe for
+        # a sink that LAGS the table (crash between sinks, catch-up not
+        # yet run): the table's hi would jump the sink's channel past
+        # windows it never saw, and offsets=None folds the requeued batch
+        # max into the sink's high-water — same skip-forever hazard when
+        # some requeued offsets sit above the lagging sink's hi.  The
+        # requeue must be invisible to every resume point it touches.
+        from glad_tiles_pipeline_spark.operators.merge import NO_ADVANCE
+
+        res["post_apply"] = post_apply(ev, batch_id, NO_ADVANCE)
     return res

@@ -50,6 +50,20 @@ from glad_tiles_pipeline_spark.operators.dedup import lww_dedup, lww_dedup_argma
 from glad_tiles_pipeline_spark.plans.lake import LakeTable
 
 
+# Sentinel ``offsets`` value: commit WITHOUT advancing this table's own
+# offset high-water (lo = parent_hi + 1, hi = parent_hi, resolved against
+# the TARGET table's parent at apply time).  The requeue path needs this
+# for derived sinks: it re-applies events whose offsets sit below the MAIN
+# table's high-water, but a LAGGING sink (crash between sinks, catch-up
+# not yet run) may never have seen some of those offsets — folding them
+# into the sink's monotone channel max (what ``offsets=None`` does) would
+# jump the sink past windows it never saw and the generic catch-up would
+# skip them forever.  Callers that compose hooks over many tables cannot
+# compute per-table no-advance offsets themselves; the sentinel defers
+# the resolution to each table's own apply.
+NO_ADVANCE = {"no_advance": True}
+
+
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -738,7 +752,13 @@ def apply_batch(
             }
         )
 
-    if offsets is None:
+    if offsets is not None and offsets.get("no_advance"):
+        # NO_ADVANCE sentinel: resolve "don't move MY high-water" against
+        # THIS table's parent (a requeue hook fans one event set out to
+        # sinks at different high-waters — see the constant's docstring).
+        prev_hi = table.manifest(expected_parent)["offsets"]["hi"]
+        offsets = {"lo": prev_hi + 1, "hi": int(prev_hi)}
+    elif offsets is None:
         # rare path (planner and stream bridge both pass offsets): the
         # committed high-water mark must cover EVERY consumed offset, not
         # just LWW winners — a losing/control event can hold the batch max,

@@ -76,6 +76,7 @@ def catch_up_signature_index(
     index: LakeTable,
     changelog_dir: str,
     hook=None,
+    constraints: "dict[str, str] | None" = None,
     **hook_kw,
 ) -> dict | None:
     """Close the batch-planner's crash-between-sinks gap: the batch loop
@@ -101,6 +102,21 @@ def catch_up_signature_index(
     if hook is None:
         hook = signature_index_hook(spark, index, **hook_kw)
     events = read_changelog_batch(spark, changelog_dir, lo - 1, hi)
+    if constraints is not None:
+        # the catch-up re-reads the RAW changelog, but a constrained
+        # ingest (X14) diverted violators before main apply AND hooks —
+        # without re-applying the same split here, a crash-between-sinks
+        # recovery would feed the sink rows the table never saw.  Drop
+        # them (no re-quarantine: the quarantine write precedes the main
+        # apply in the planner, so every window being caught up already
+        # persisted its violators under the ORIGINAL window ids —
+        # re-writing them under the catch-up's wider window id would
+        # interleave ranges and break the requeue's content addressing).
+        from glad_tiles_pipeline_spark.operators.constraints import (
+            split_by_constraints,
+        )
+
+        events, _ = split_by_constraints(events, constraints)
     return hook(events, batch_id_for(lo, hi), {"lo": lo, "hi": hi})
 
 

@@ -290,6 +290,21 @@ def main(argv: list[str] | None = None) -> int:
     sig_index = None
     if (args.matview is not None) != bool(args.matview_agg):
         raise SystemExit("--matview and --matview-agg go together")
+    # parsed BEFORE the derived-sink setup: the catch-up re-reads raw
+    # changelog windows and must apply the same constraint split the
+    # original ingest did, or a crash-between-sinks recovery feeds the
+    # sinks rows the table quarantined
+    constraints = None
+    if args.expect:
+        constraints = {}
+        for spec in args.expect:
+            name, sep, expr = spec.partition("=")
+            if not sep or not name or not expr:
+                raise SystemExit(f"--expect needs NAME=SQL_EXPR, got {spec!r}")
+            constraints[name] = expr
+        if args.quarantine_dir is None:
+            raise SystemExit("--expect requires --quarantine-dir (violators "
+                             "are never silently dropped)")
     if (args.signature_index is not None or args.token_index is not None
             or args.matview is not None or args.scd2 is not None):
         if args.branch is not None:
@@ -317,6 +332,7 @@ def main(argv: list[str] | None = None) -> int:
                 # to the table's offset high-water before new windows plan
                 caught = catch_up_derived_index(
                     spark, table, idx, args.changelog, hook=hook,
+                    constraints=constraints,
                 )
                 if caught is not None and not caught.get("skipped"):
                     print(f"{label} caught up: "
@@ -415,18 +431,6 @@ def main(argv: list[str] | None = None) -> int:
             # composition is exactly-once per sink even if a crash lands
             # between them (same argument as table-vs-index)
             return {"sinks": [h(df, batch_id, offsets) for h in _hooks]}
-
-    constraints = None
-    if args.expect:
-        constraints = {}
-        for spec in args.expect:
-            name, sep, expr = spec.partition("=")
-            if not sep or not name or not expr:
-                raise SystemExit(f"--expect needs NAME=SQL_EXPR, got {spec!r}")
-            constraints[name] = expr
-        if args.quarantine_dir is None:
-            raise SystemExit("--expect requires --quarantine-dir (violators "
-                             "are never silently dropped)")
 
     if args.mode == "batch":
         results = ingest_changelog(

@@ -283,3 +283,103 @@ def test_requeue_reaches_derived_sinks(spark, tmp_path):
     # no high-water moved anywhere
     assert view.last_committed_offset() == view_hi
     assert table.last_committed_offset() == view_hi
+
+
+def test_requeue_does_not_advance_a_lagging_sink(spark, tmp_path):
+    """A sink that LAGS the table (crash between sinks, catch-up not yet
+    run) has unseen windows above its high-water, and requeued events can
+    carry offsets from those windows — folding them into the sink's
+    high-water (what ``offsets=None`` would do) makes the generic
+    catch-up skip the unseen windows forever.  Contract: the requeue is
+    invisible to EVERY resume point it touches (NO_ADVANCE resolves
+    per-sink), so requeue-then-catch-up converges to the recompute."""
+    from pyspark.sql import types as T
+
+    from glad_tiles_pipeline_spark.operators.constraints import (
+        requeue_quarantine,
+    )
+    from glad_tiles_pipeline_spark.operators.matview import (
+        create_matview,
+        matview_hook,
+        read_matview,
+    )
+    from glad_tiles_pipeline_spark.streaming.dedup_index import (
+        catch_up_derived_index,
+    )
+
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "q")
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    view = create_matview(str(tmp_path / "mv"),
+                          [("n_paths", T.LongType())], n_buckets=4)
+    hook = matview_hook(spark, table, view, {"n_paths": F.count("*")})
+
+    # first half: both sinks current
+    ingest_changelog(spark, table, log_dir, batch_size=1000, max_batches=2,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir,
+                     post_apply=hook)
+    view_hi = view.last_committed_offset()
+    # second half WITHOUT the hook: the view now lags the table
+    ingest_changelog(spark, table, log_dir, batch_size=1000,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir)
+    assert table.last_committed_offset() > view_hi
+
+    # requeue everything with the composed hook: repaired keys reach the
+    # view, but its resume point must NOT move — second-half quarantined
+    # offsets sit above view_hi, and folding them in would skip the
+    # un-delivered windows forever
+    res = requeue_quarantine(spark, table, qdir, constraints=None,
+                             post_apply=hook)
+    assert res["requeued"] > 0
+    assert view.last_committed_offset() == view_hi
+
+    # the generic catch-up still sees the missed windows; the view
+    # converges to the recompute over the repaired table
+    caught = catch_up_derived_index(spark, table, view, log_dir, hook=hook,
+                                    constraints=CONSTRAINTS)
+    assert caught is not None and not caught.get("skipped")
+    want = (table.scan(spark).groupBy(F.col("repo").alias("grp"))
+            .agg(F.count("*").alias("n_paths")))
+    got = read_matview(spark, view)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_catch_up_applies_the_constraint_split(spark, tmp_path):
+    """The catch-up re-reads the RAW changelog, but a constrained ingest
+    diverted violators BEFORE main apply and hooks — recovery must apply
+    the same split, or a crash-between-sinks catch-up feeds the derived
+    sink rows the table never saw (no re-quarantine either: the planner
+    persisted the violators under the original window ids before the
+    crash could happen)."""
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        create_signature_index,
+    )
+    from glad_tiles_pipeline_spark.streaming.dedup_index import (
+        catch_up_derived_index,
+        signature_index_hook,
+    )
+
+    log_dir = _log(spark, tmp_path)
+    qdir = str(tmp_path / "q")
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    # worst-case crash window: every ingest window reached main, none
+    # reached the index
+    ingest_changelog(spark, table, log_dir, batch_size=1000,
+                     constraints=CONSTRAINTS, quarantine_dir=qdir)
+    n_q = read_quarantine(spark, qdir).count()
+    assert n_q > 0
+
+    index = create_signature_index(str(tmp_path / "sig"), n_buckets=4)
+    hook = signature_index_hook(spark, index)
+    caught = catch_up_derived_index(spark, table, index, log_dir, hook=hook,
+                                    constraints=CONSTRAINTS)
+    assert caught is not None and not caught.get("skipped")
+
+    # every event for a '%7.py' doc violates no_lucky_paths, so the index
+    # must not know those documents at all — and the quarantine record is
+    # untouched (the catch-up never re-writes it)
+    sigs = index.scan(spark)
+    assert sigs.filter(F.col("doc_id").like("%7.py")).count() == 0
+    assert sigs.count() > 0
+    assert read_quarantine(spark, qdir).count() == n_q
