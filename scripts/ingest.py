@@ -92,6 +92,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "delete-vector references, batch index, tags) and "
                         "report findings in the summary; exit 3 on any "
                         "violation")
+    p.add_argument("--fast-count", action="store_true",
+                   help="report the exact live row count in the summary, "
+                        "computed from parquet metadata alone when the "
+                        "snapshot is resolved (falls back to a resolved "
+                        "scan under outstanding MoR deltas)")
     p.add_argument("--incremental-from", type=int, default=None,
                    help="after ingest, print the row-count of the CDC-out "
                         "change feed since this snapshot id")
@@ -549,6 +554,10 @@ def main(argv: list[str] | None = None) -> int:
         summary["audit"] = {"ok": audit["ok"],
                             "findings": audit["findings"],
                             "checked": audit["checked"]}
+    if args.fast_count:
+        # admin count from parquet metadata alone; falls back to a
+        # resolved scan (this session) when MoR deltas are outstanding
+        summary["fast_count"] = table.fast_count(spark)
     if args.show_files:
         table.files(spark).show(100, truncate=False)
     print(json.dumps(summary))

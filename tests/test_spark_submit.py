@@ -90,6 +90,7 @@ def test_cli_expect_and_matview(tmp_path):
             "--matview-agg", "n_paths=count(*)",
             "--matview-agg", "total_chars=sum(length(content))",
             "--scd2", str(tmp_path / "hist"),
+            "--fast-count",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -103,6 +104,8 @@ def test_cli_expect_and_matview(tmp_path):
     )
     assert summary["quarantined"] > 0
     assert summary["events_read"] + summary["quarantined"] == 2000
+    # --fast-count reports the exact live row count in the summary
+    assert summary["fast_count"] > 0
     # the view and the SCD2 history landed beside the table
     assert os.path.exists(os.path.join(str(tmp_path / "mv"), "manifests"))
     assert os.path.exists(os.path.join(str(tmp_path / "hist"), "manifests"))
