@@ -90,8 +90,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "current snapshot's manifest claims (file existence, "
                         "row counts, stats bracketing, bloom soundness, "
                         "delete-vector references, batch index, tags) and "
-                        "report findings in the summary; exit 3 on any "
-                        "violation")
+                        "report findings in the summary; derived sinks "
+                        "configured this run are audited too; exit 3 on "
+                        "any violation")
     p.add_argument("--fast-count", action="store_true",
                    help="report the exact live row count in the summary, "
                         "computed from parquet metadata alone when the "
@@ -292,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
                          "single-writer offset scalar.  Maintain derived "
                          "tables from the unnamed (single-writer) ingest.")
     hooks = []
+    derived_tables = []  # (label, LakeTable) for --audit coverage
     sig_index = None
     if (args.matview is not None) != bool(args.matview_agg):
         raise SystemExit("--matview and --matview-agg go together")
@@ -342,6 +344,7 @@ def main(argv: list[str] | None = None) -> int:
                 if caught is not None and not caught.get("skipped"):
                     print(f"{label} caught up: "
                           f"{caught['metrics']['events_read']} event(s)")
+            derived_tables.append((label, idx))
             return idx, hook
 
         if args.signature_index is not None:
@@ -554,6 +557,17 @@ def main(argv: list[str] | None = None) -> int:
         summary["audit"] = {"ok": audit["ok"],
                             "findings": audit["findings"],
                             "checked": audit["checked"]}
+        # derived sinks are ordinary lake tables whose manifest claims
+        # readers trust the same way — one --audit covers the whole run's
+        # output surface (the sha spot-check self-gates on tables that
+        # carry content/content_sha, e.g. the SCD2 history)
+        for label, idx in derived_tables:
+            da = audit_table(idx)
+            summary["audit"].setdefault("derived", {})[label] = {
+                "ok": da["ok"], "findings": da["findings"],
+                "checked": da["checked"],
+            }
+            summary["audit"]["ok"] = summary["audit"]["ok"] and da["ok"]
     if args.fast_count:
         # admin count from parquet metadata alone; falls back to a
         # resolved scan (this session) when MoR deltas are outstanding

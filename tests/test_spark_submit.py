@@ -91,6 +91,7 @@ def test_cli_expect_and_matview(tmp_path):
             "--matview-agg", "total_chars=sum(length(content))",
             "--scd2", str(tmp_path / "hist"),
             "--fast-count",
+            "--audit",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -106,6 +107,12 @@ def test_cli_expect_and_matview(tmp_path):
     assert summary["events_read"] + summary["quarantined"] == 2000
     # --fast-count reports the exact live row count in the summary
     assert summary["fast_count"] > 0
+    # --audit covers the derived sinks configured this run, not just main
+    assert summary["audit"]["ok"]
+    assert set(summary["audit"]["derived"]) == {
+        "materialized view", "scd2 history",
+    }
+    assert all(d["ok"] for d in summary["audit"]["derived"].values())
     # the view and the SCD2 history landed beside the table
     assert os.path.exists(os.path.join(str(tmp_path / "mv"), "manifests"))
     assert os.path.exists(os.path.join(str(tmp_path / "hist"), "manifests"))
