@@ -272,7 +272,11 @@ def test_long_haul_view_and_constraints_cycles(spark, tmp_path):
                              quarantine_dir=qdir)
             table.publish_branch("wap")
             table.drop_branch("wap")
-            caught = catch_up_derived_index(spark, table, view, log, hook=hook)
+            # the catch-up re-reads the RAW window — pass the rule set so
+            # the recovery applies the same split the staged ingest did
+            caught = catch_up_derived_index(spark, table, view, log,
+                                            hook=hook,
+                                            constraints=constraints)
             assert caught is not None
         else:
             ingest_changelog(spark, table, log, batch_size=B,
@@ -295,3 +299,32 @@ def test_long_haul_view_and_constraints_cycles(spark, tmp_path):
             read_quarantine(spark, qdir).count()
             == bad_all.filter(F.col("offset") < (c + 1) * B).count()
         )
+
+    # final act — the lifecycle's third phase INSIDE the maintenance
+    # loop: waive the rules and requeue with the composed hook; the
+    # table converges to the full unconstrained replay, the view rides
+    # along exactly, the audit record is never mutated, and maintenance
+    # plus an independent audit stay healthy after the repair
+    from glad_tiles_pipeline_spark.operators.constraints import (
+        requeue_quarantine,
+    )
+    from glad_tiles_pipeline_spark.plans.audit import audit_table
+
+    res = requeue_quarantine(spark, table, qdir, constraints=None,
+                             post_apply=hook)
+    assert res["requeued"] == bad_all.count()
+    oracle_full = oracle_state_df(spark, events)
+    _eq(table.scan(spark), oracle_full)
+    want_view = (
+        table.scan(spark)
+        .groupBy(F.col("repo").alias("grp"))
+        .agg(*[col.alias(n) for n, col in aggs.items()])
+    )
+    _eq(read_matview(spark, view), want_view)
+    assert read_quarantine(spark, qdir).count() == bad_all.count()
+    todo = plan_compaction(table, max_delta_files=1, max_buckets=2)
+    if todo:
+        compact(spark, table, buckets=todo, target_file_rows=500)
+    _eq(table.scan(spark), oracle_full)
+    assert audit_table(table)["ok"]
+    assert audit_table(view)["ok"]
