@@ -33,6 +33,7 @@ micro-batch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from glad_tiles_pipeline_spark.operators.incremental import (
     DEFAULT_N_HASHES,
@@ -91,7 +92,24 @@ def catch_up_signature_index(
     None) when the index is current.  Run at the top of every batch-mode
     ingest; the stream path doesn't need it (its checkpoint only commits
     AFTER the whole foreachBatch body, so a crash between the two MERGEs
-    re-feeds the micro-batch)."""
+    re-feeds the micro-batch).
+
+    ``constraints`` — the CHECK rule set (X14) IN EFFECT FOR THE WINDOWS
+    BEING RECOVERED: the catch-up re-reads the raw changelog, so without
+    the same split the recovery would feed the sink rows the table
+    quarantined.  Precise contract, stated honestly: this is exact for
+    the crash-between-sinks case (the lagging windows ran under these
+    rules) and for bootstrap over a uniformly-ruled history.  Two narrow
+    flows fall outside it and are deliberately NOT solved here: (1)
+    bootstrap over history ingested BEFORE the rules existed — the
+    current rules would drop rows the table applied back then; (2)
+    bootstrap after a ``requeue_quarantine`` — requeued rows live in the
+    table but still match the quarantine record.  Both are
+    rules-changed-over-time problems the offset log cannot answer; for
+    an exact new-sink bootstrap in those flows use ``backfill_lww_sink``
+    (table state at original versions — winners-only is the exact final
+    state for any LWW-arbitrated sink) and let this catch-up handle only
+    subsequent windows."""
     from glad_tiles_pipeline_spark.plans.planner import batch_id_for
     from glad_tiles_pipeline_spark.sources.changelog import read_changelog_batch
 
@@ -124,3 +142,42 @@ def catch_up_signature_index(
 # post_apply hook (signature index, token index, ...) closes its
 # crash-between-sinks window the same way
 catch_up_derived_index = catch_up_signature_index
+
+
+def backfill_lww_sink(
+    spark: SparkSession,
+    table: LakeTable,
+    hook,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Exact NEW-SINK bootstrap from TABLE STATE for LWW-arbitrated
+    sinks — the two flows the offset-log catch-up cannot answer exactly
+    (rules added mid-history, bootstrap after a requeue; see
+    ``catch_up_signature_index``) both disappear when the feed is the
+    table itself: stored rows at their ORIGINAL ``(_commit_seq,
+    _offset)`` are exactly what the table applied — quarantined rows
+    absent, requeued rows present, by construction.  Winners-only IS the
+    exact final state for any LWW sink (every loser is superseded by the
+    stored winner at the sink's own arbitration), which is also why this
+    works on UNRESOLVED MoR snapshots: extra stored versions per key are
+    just more events the sink arbitrates away.  Delete memos feed as
+    ``op='D'`` so late events keep losing to tombstones in the sink too.
+    NOT for history-shaped sinks (SCD2 needs losers); those rebuild from
+    the full log.
+
+    Commits under a snapshot-addressed batch id with the table's
+    high-water AT THAT SNAPSHOT, so the generic catch-up resumes exactly
+    after the backfilled range and a re-run no-ops."""
+    m = table.manifest(snapshot_id)
+    sid = m["snapshot_id"]
+    hi = int(m["offsets"]["hi"])
+    rows = table.scan(spark, snapshot_id=sid, include_system=True)
+    ev = rows.select(
+        F.col("_offset").alias("offset"),
+        F.col("_commit_seq").alias("commit_seq"),
+        F.when(F.col("_deleted"), F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "repo", "path", "commit", "lang", "content",
+        F.lit(None).cast("string").alias("control"),
+    )
+    return hook(ev, f"backfill-v{sid}", {"lo": 1, "hi": hi})

@@ -227,3 +227,63 @@ def test_incremental_probe_against_streamed_index(spark, env):
     got = sorted(tuple(r) for r in inc.collect())
     assert got == want
     assert len(got) >= 5  # every copied doc pairs with its original
+
+
+def test_backfill_bootstraps_exactly_over_mixed_rule_history(spark, tmp_path):
+    """Rules added MID-HISTORY: windows ingested before the rules carry
+    rows the table applied but the current rules would drop — so a raw-log
+    catch-up with today's rules under-feeds a NEW index, while
+    ``backfill_lww_sink`` (table state at original versions) is exact by
+    construction.  Also: the backfill is idempotent, and subsequent
+    constrained windows compose through the ordinary hook + catch-up."""
+    from glad_tiles_pipeline_spark.plans.planner import ingest_changelog
+    from glad_tiles_pipeline_spark.streaming.dedup_index import (
+        backfill_lww_sink,
+        catch_up_derived_index,
+    )
+
+    log = str(tmp_path / "log")
+    change_log(spark, 4000, late_denom=4, late_max_lag=1500).write.parquet(log)
+    constraints = {"no_lucky_paths": "path NOT LIKE '%7.py'"}
+    qdir = str(tmp_path / "q")
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    # window 1: BEFORE the rules existed — '%7.py' docs enter the table
+    ingest_changelog(spark, table, log, batch_size=1000, max_batches=1)
+    # windows 2-3: rules in force — violators quarantined
+    ingest_changelog(spark, table, log, batch_size=1000, max_batches=2,
+                     constraints=constraints, quarantine_dir=qdir)
+
+    # bootstrap a NEW index.  A raw-log catch-up with today's rules would
+    # drop window-1's '%7.py' docs that ARE live in the table — the
+    # documented inexact flow; the backfill feeds table state instead.
+    index = create_signature_index(str(tmp_path / "sig"), n_hashes=N_HASHES,
+                                   n_buckets=8)
+    hook = signature_index_hook(spark, index, n_hashes=N_HASHES)
+    res = backfill_lww_sink(spark, table, hook)
+    assert not res.get("skipped")
+
+    got = index_signatures_cdc(spark, index, n_hashes=N_HASHES)
+    want = _want_signatures(spark, table.scan(spark))
+    cols = got.columns
+    assert got.exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got).count() == 0
+    # non-degenerate: pre-rules '%7.py' docs are live and indexed
+    assert got.filter(F.col("doc_id").like("%7.py")).count() > 0
+
+    # idempotent: same snapshot-addressed id no-ops
+    assert backfill_lww_sink(spark, table, hook).get("skipped")
+    # high-water landed at the backfilled snapshot; catch-up is current
+    assert index.last_committed_offset() == table.last_committed_offset()
+
+    # the remaining window composes through the ordinary constrained path
+    ingest_changelog(spark, table, log, batch_size=1000,
+                     constraints=constraints, quarantine_dir=qdir,
+                     post_apply=hook)
+    caught = catch_up_derived_index(spark, table, index, log, hook=hook,
+                                    constraints=constraints)
+    assert caught is None  # hook kept it current; nothing to catch up
+    got = index_signatures_cdc(spark, index, n_hashes=N_HASHES)
+    want = _want_signatures(spark, table.scan(spark))
+    assert got.exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got).count() == 0
