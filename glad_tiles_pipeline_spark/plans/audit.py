@@ -24,6 +24,13 @@ so in its summary rather than implying full coverage.
 Findings are ``{"level": "error", "code": ..., "detail": ...}`` — an
 empty list (and ``ok=True``) is a clean bill.  The audit never mutates
 anything.
+
+``audit_changelog`` is the INPUT-side twin: it validates the raw
+change-event log against the source contract (FIXTURES.md §2.1) before
+the planner trusts it — unique non-null offsets, data/control row shape,
+known op vocabularies — so a producer bug (an offset collision from a
+mis-sharded writer, an unparseable control payload that would abort an
+evolve mid-stream) is caught at the door instead of mid-ingest.
 """
 
 from __future__ import annotations
@@ -251,3 +258,143 @@ def audit_table(
 
     return {"ok": not findings, "snapshot_id": sid,
             "findings": findings, "checked": checked}
+
+
+# evolve vocabulary (plans/lake.py evolve()) — a control payload outside it
+# would abort the ingest loop mid-stream when the batch routes it
+EVOLVE_OPS = ("add_column", "rename_column", "widen_type", "drop_column")
+DATA_OPS = ("I", "U", "D")
+
+
+def audit_changelog(spark, changelog_dir: str, sample: int = 5) -> dict:
+    """Validate a raw change-event log against the source contract
+    (FIXTURES.md §2.1) before the planner trusts it.
+
+    Error-level findings (``ok=False``):
+
+    * ``offset_null`` / ``offset_duplicate`` — offsets are the log's
+      identity: the planner windows by offset range, LWW arbitration
+      tie-breaks on offset, and the fencing batch ids are offset-
+      addressed.  A collision (mis-sharded producer, a restore replayed
+      over live writes) silently double-applies or mis-orders.
+    * ``data_missing_key`` / ``data_bad_op`` / ``data_null_commit_seq``
+      — a data row (``control IS NULL``) must carry (repo, path), an op
+      in I/U/D, and a commit_seq; anything else would be dropped or
+      mis-arbitrated downstream without a trace.
+    * ``control_invalid`` — a control row whose JSON doesn't parse or
+      whose op is outside the evolve vocabulary aborts the ingest loop
+      exactly when it reaches the front of a window; catch it at the
+      door instead.
+
+    Warning-level findings (reported, ``ok`` unaffected):
+
+    * ``delete_with_content`` — the contract nulls content on deletes;
+      a payload here is ignored by the merge path, so it usually means
+      the producer meant an update.
+    * ``offset_gaps`` — the contract promises unique/monotone, not
+      dense; gaps are legal but a sudden one often means lost events,
+      so the count is surfaced for the operator to judge.
+
+    Scale shape: ONE aggregation pass over the log — every check is a
+    conditional count in the same agg; the only shuffle is the distinct
+    count of the slim 8-byte offset column.  The duplicate-offset sample
+    (a groupBy-having) runs only after a violation is already proven.
+    """
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(changelog_dir)
+    is_ctrl = F.col("control").isNotNull()
+    ctrl_op = F.get_json_object("control", "$.op")
+
+    def n(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    # NULL three-valued logic: `~col.isin(...)` is NULL (not True) on a
+    # NULL col, and `when(NULL, 1).otherwise(0)` counts 0 — every
+    # membership check below must OR an explicit isNull to not let a
+    # NULL op / unparseable control slip through as "fine"
+    r = log.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("offset").alias("distinct_offsets"),
+        F.min("offset").alias("lo"),
+        F.max("offset").alias("hi"),
+        n(F.col("offset").isNull()).alias("null_offset"),
+        n(~is_ctrl & (F.col("repo").isNull()
+                      | F.col("path").isNull())).alias("missing_key"),
+        n(~is_ctrl & (F.col("op").isNull()
+                      | ~F.col("op").isin(*DATA_OPS))).alias("bad_op"),
+        n(~is_ctrl & F.col("commit_seq").isNull()).alias("null_seq"),
+        n(is_ctrl & (ctrl_op.isNull()
+                     | ~ctrl_op.isin(*EVOLVE_OPS))).alias("bad_control"),
+        n((F.col("op") == "D")
+          & F.col("content").isNotNull()).alias("del_content"),
+        n(is_ctrl).alias("control_rows"),
+    ).collect()[0]
+
+    findings: list[dict] = []
+
+    def err(code: str, detail: str) -> None:
+        findings.append({"level": "error", "code": code, "detail": detail})
+
+    def warn(code: str, detail: str) -> None:
+        findings.append({"level": "warning", "code": code, "detail": detail})
+
+    if r["null_offset"]:
+        err("offset_null", f"{r['null_offset']} row(s) with NULL offset")
+    dupes = (r["rows"] - r["null_offset"]) - r["distinct_offsets"]
+    if dupes > 0:
+        offenders = [
+            row["offset"]
+            for row in log.groupBy("offset").count()
+            .filter(F.col("count") > 1).limit(sample).collect()
+        ]
+        err("offset_duplicate",
+            f"{dupes} extra row(s) on duplicated offsets; "
+            f"e.g. offsets {offenders}")
+    if r["missing_key"]:
+        err("data_missing_key",
+            f"{r['missing_key']} data row(s) with NULL repo or path")
+    if r["bad_op"]:
+        bad = [
+            row["op"] for row in log.filter(
+                ~is_ctrl & (F.col("op").isNull()
+                            | ~F.col("op").isin(*DATA_OPS))
+            ).select("op").distinct().limit(sample).collect()
+        ]
+        err("data_bad_op",
+            f"{r['bad_op']} data row(s) with op outside {DATA_OPS}: {bad}")
+    if r["null_seq"]:
+        err("data_null_commit_seq",
+            f"{r['null_seq']} data row(s) with NULL commit_seq")
+    if r["bad_control"]:
+        bad = [
+            row["control"] for row in log.filter(
+                is_ctrl & (ctrl_op.isNull() | ~ctrl_op.isin(*EVOLVE_OPS))
+            ).select("control").distinct().limit(sample).collect()
+        ]
+        err("control_invalid",
+            f"{r['bad_control']} control row(s) unparseable or with op "
+            f"outside {EVOLVE_OPS}: {bad}")
+    if r["del_content"]:
+        warn("delete_with_content",
+             f"{r['del_content']} delete(s) carrying non-NULL content "
+             "(ignored by the merge path; producer likely meant U)")
+    if r["rows"] and r["lo"] is not None:
+        gaps = (int(r["hi"]) - int(r["lo"]) + 1) - int(r["distinct_offsets"])
+        if gaps > 0:
+            warn("offset_gaps",
+                 f"{gaps} missing position(s) in [{r['lo']}, {r['hi']}] "
+                 "(legal per contract, but a sudden gap often means lost "
+                 "events)")
+
+    return {
+        "ok": not any(f["level"] == "error" for f in findings),
+        "findings": findings,
+        "checked": {
+            "rows": int(r["rows"]),
+            "control_rows": int(r["control_rows"]),
+            "offset_range": (
+                [int(r["lo"]), int(r["hi"])] if r["lo"] is not None else None
+            ),
+        },
+    }

@@ -93,6 +93,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "report findings in the summary; derived sinks "
                         "configured this run are audited too; exit 3 on "
                         "any violation")
+    p.add_argument("--audit-changelog", action="store_true",
+                   help="validate the raw changelog against the source "
+                        "contract BEFORE ingesting (unique non-null "
+                        "offsets, data/control row shape, known op "
+                        "vocabularies); exit 3 without applying anything "
+                        "on a violation")
     p.add_argument("--fast-count", action="store_true",
                    help="report the exact live row count in the summary, "
                         "computed from parquet metadata alone when the "
@@ -211,6 +217,19 @@ def main(argv: list[str] | None = None) -> int:
         )
 
 
+
+    if args.audit_changelog:
+        from glad_tiles_pipeline_spark.plans.audit import audit_changelog
+
+        la = audit_changelog(spark, args.changelog)
+        if not la["ok"]:
+            # at-the-door refusal: nothing was planned or applied yet, so
+            # the operator can repair the log and re-run cleanly
+            print(json.dumps({"changelog_audit": la}))
+            return 3
+        for f in la["findings"]:  # warnings only — proceed, but say so
+            print(f"changelog audit {f['level']}: {f['code']}: "
+                  f"{f['detail']}", file=sys.stderr)
 
     if args.create and not os.path.exists(
         os.path.join(args.table, "manifests")
