@@ -1490,6 +1490,128 @@ class LakeTable:
         )
         return spark.createDataFrame(rows, schema=schema)
 
+    def report(self, since_snapshot: int = 0) -> dict:
+        """Operational rollup of the per-batch lineage + metrics every
+        commit records (the north rule's "checkpoint manifest with
+        per-partition lineage, event offsets, and rows-applied metrics"
+        — this is the read side of that promise): one dict summarizing
+        what the table has ingested and what maintenance ran, without a
+        SparkSession and without touching data files.
+
+        Driver-side manifest walk like ``history()`` — O(snapshots in
+        the window), tiny JSON each.  ``since_snapshot`` bounds the
+        window (exclusive, so ``report(since_snapshot=prev_head)`` after
+        a run reports exactly that run).
+
+        Contents:
+
+        * ``snapshots`` — count by kind, classified from the batch-id
+          conventions (ingest ``b/s{lo}-{hi}``, ``compact-``,
+          ``rebucket-``, ``rq…`` requeue, ``backfill-``, ``:evo``
+          schema evolution, ``__…__`` admin).
+        * ``totals`` — events read/winners/dupes dropped/deletes/
+          position kills/control events summed over ingest commits, and
+          rows applied/deleted summed from per-bucket lineage.
+        * ``throughput`` — events/sec over the window's commit-timestamp
+          span (None for a single-commit window: one timestamp brackets
+          no interval).
+        * ``skew`` — per-ingest-batch hottest-bucket share
+          (max bucket_rows / batch events), reported as max and mean:
+          ~1/n_buckets means the stats-planned partitioning spread the
+          load; →1.0 means one hot key owned the batch.
+        """
+        from datetime import datetime, timezone
+
+        def _kind(bid: str) -> str:
+            if bid.startswith("__"):
+                return "admin"
+            if bid.startswith("compact-"):
+                return "compact"
+            if bid.startswith("rebucket-"):
+                return "rebucket"
+            if bid.startswith("rq"):
+                return "requeue"
+            if bid.startswith("backfill-"):
+                return "backfill"
+            if bid.endswith(":evo"):
+                return "evolve"
+            return "ingest"
+
+        cur = self.current_snapshot_id()
+        lo_sid = max(since_snapshot + 1, 0)
+        kinds: dict[str, int] = {}
+        totals = {
+            "events_read": 0, "winners": 0, "dupes_dropped": 0,
+            "deletes_requested": 0, "position_kills": 0,
+            "control_events": 0, "rows_applied": 0, "rows_deleted": 0,
+            "buckets_rewritten": 0,
+        }
+        stamps: list[str] = []
+        hot_shares: list[float] = []
+        for sid in range(lo_sid, cur + 1):
+            m = self.manifest(sid)
+            if self._is_dead(sid):
+                kinds["rolled_back"] = kinds.get("rolled_back", 0) + 1
+                continue
+            kind = _kind(m["batch_id"])
+            kinds[kind] = kinds.get(kind, 0) + 1
+            if m.get("committed_at"):
+                stamps.append(m["committed_at"])
+            if kind != "ingest":
+                continue
+            met = m.get("metrics") or {}
+            for k in ("events_read", "winners", "dupes_dropped",
+                      "deletes_requested", "position_kills",
+                      "control_events", "buckets_rewritten"):
+                totals[k] += int(met.get(k) or 0)
+            for lin in (m.get("lineage") or {}).values():
+                totals["rows_applied"] += int(lin.get("rows_applied") or 0)
+                totals["rows_deleted"] += int(lin.get("rows_deleted") or 0)
+            rows = [int(v) for v in (met.get("bucket_rows") or {}).values()]
+            if rows and sum(rows) > 0:
+                hot_shares.append(max(rows) / sum(rows))
+
+        throughput = None
+        wall = None
+        if len(stamps) >= 2:
+            ts = sorted(
+                datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+                .replace(tzinfo=timezone.utc)
+                for s in stamps
+            )
+            wall = (ts[-1] - ts[0]).total_seconds()
+            if wall > 0 and totals["events_read"]:
+                throughput = round(totals["events_read"] / wall, 1)
+
+        head = self.manifest(cur)
+        return {
+            "snapshot_range": [lo_sid, cur],
+            "snapshots": kinds,
+            "totals": totals,
+            "wall_seconds": wall,
+            "events_per_sec": throughput,
+            "skew": (
+                {
+                    "hottest_bucket_share_max": round(max(hot_shares), 4),
+                    "hottest_bucket_share_mean": round(
+                        sum(hot_shares) / len(hot_shares), 4
+                    ),
+                    "n_buckets": head["n_buckets"],
+                }
+                if hot_shares else None
+            ),
+            "head": {
+                "snapshot_id": cur,
+                "schema_version": head["schema_version"],
+                "n_files": len(head["files"]),
+                "offsets_hi": {
+                    ch: o["hi"]
+                    for ch, o in (head.get("source_offsets")
+                                  or {"default": head["offsets"]}).items()
+                },
+            },
+        }
+
     def incremental(
         self,
         spark: SparkSession,

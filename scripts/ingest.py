@@ -99,6 +99,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "offsets, data/control row shape, known op "
                         "vocabularies); exit 3 without applying anything "
                         "on a violation")
+    p.add_argument("--report", action="store_true",
+                   help="include an operational rollup of this run's "
+                        "lineage + metrics manifests in the summary "
+                        "(batch kinds, event totals, events/sec over the "
+                        "commit-timestamp span, hottest-bucket skew "
+                        "share); metadata-only, no data files touched")
     p.add_argument("--fast-count", action="store_true",
                    help="report the exact live row count in the summary, "
                         "computed from parquet metadata alone when the "
@@ -263,6 +269,10 @@ def main(argv: list[str] | None = None) -> int:
             table = table.branch(args.branch)
         else:
             table = table.create_branch(args.branch)
+
+    # --report covers THIS run: everything committed after this point
+    # (rollback, rebucket, ingest, compaction, requeue) lands in the window
+    report_since = table.current_snapshot_id()
 
     if args.rollback_to is not None:
         if args.mode == "stream" and args.checkpoint is None:
@@ -587,6 +597,8 @@ def main(argv: list[str] | None = None) -> int:
                 "checked": da["checked"],
             }
             summary["audit"]["ok"] = summary["audit"]["ok"] and da["ok"]
+    if args.report:
+        summary["report"] = table.report(since_snapshot=report_since)
     if args.fast_count:
         # admin count from parquet metadata alone; falls back to a
         # resolved scan (this session) when MoR deltas are outstanding
