@@ -104,7 +104,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "lineage + metrics manifests in the summary "
                         "(batch kinds, event totals, events/sec over the "
                         "commit-timestamp span, hottest-bucket skew "
-                        "share); metadata-only, no data files touched")
+                        "share); derived sinks configured this run are "
+                        "reported too, each windowed to its own pre-run "
+                        "head; metadata-only, no data files touched")
     p.add_argument("--fast-count", action="store_true",
                    help="report the exact live row count in the summary, "
                         "computed from parquet metadata alone when the "
@@ -322,7 +324,8 @@ def main(argv: list[str] | None = None) -> int:
                          "single-writer offset scalar.  Maintain derived "
                          "tables from the unnamed (single-writer) ingest.")
     hooks = []
-    derived_tables = []  # (label, LakeTable) for --audit coverage
+    derived_tables = []  # (label, LakeTable) for --audit/--report coverage
+    sink_report_since = {}  # label -> pre-run head for --report windows
     sig_index = None
     if (args.matview is not None) != bool(args.matview_agg):
         raise SystemExit("--matview and --matview-agg go together")
@@ -362,6 +365,9 @@ def main(argv: list[str] | None = None) -> int:
                 idx = LakeTable(root)
             else:
                 idx = create(root, n_buckets=args.n_buckets)
+            # pre-catch-up head: --report windows each sink to THIS run's
+            # work, and the bootstrap catch-up below is this run's work
+            sink_report_since[label] = idx.current_snapshot_id()
             hook = make_hook(spark, idx)
             if args.mode == "batch":
                 # bootstrap / crash-between-sinks recovery: bring the index
@@ -598,7 +604,15 @@ def main(argv: list[str] | None = None) -> int:
             }
             summary["audit"]["ok"] = summary["audit"]["ok"] and da["ok"]
     if args.report:
-        summary["report"] = table.report(since_snapshot=report_since)
+        rep = table.report(since_snapshot=report_since)
+        # derived sinks are ordinary lake tables recording the same
+        # lineage/metrics — one --report covers the run's whole output
+        # surface, each sink windowed to its own pre-run head
+        for label, idx in derived_tables:
+            rep.setdefault("derived", {})[label] = idx.report(
+                since_snapshot=sink_report_since[label]
+            )
+        summary["report"] = rep
     if args.fast_count:
         # admin count from parquet metadata alone; falls back to a
         # resolved scan (this session) when MoR deltas are outstanding

@@ -124,3 +124,36 @@ def test_cli_report(spark, run, tmp_path):
     assert rep["snapshots"] == {"ingest": 2, "compact": 1}
     assert rep["totals"]["events_read"] == N
     assert rep["head"]["offsets_hi"] == {"default": N - 1}
+
+
+def test_cli_report_covers_derived_sinks(spark, run, tmp_path):
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from ingest import main as ingest_main
+    finally:
+        sys.path.pop(0)
+    _, log_dir = run
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = ingest_main([
+            "--changelog", log_dir, "--table", str(tmp_path / "t4"),
+            "--create", "--batch-size", "3000",
+            "--signature-index", str(tmp_path / "sig"), "--report",
+        ])
+    assert rc == 0
+    summary = json.loads(
+        [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    )
+    sig = summary["report"]["derived"]["signature index"]
+    assert sig["snapshots"]["ingest"] == 2
+    # the sink's high-water tracks the table's (hook passes offsets through)
+    assert sig["head"]["offsets_hi"] == {"default": N - 1}
+    # sink events are signature events, not raw changelog events
+    assert sig["totals"]["events_read"] > 0
