@@ -1281,6 +1281,89 @@ class LakeTable:
             total += f["rows"] - int(n_del)
         return total
 
+    def export_to(
+        self, dest_root: str, snapshot_id: int | None = None
+    ) -> "LakeTable":
+        """Portable snapshot export (Iceberg snapshot-registration /
+        CLONE parity) — the disaster-restore and table-migration story:
+        copy ONE snapshot's exact state into a fresh self-contained
+        table root that keeps tailing the same changelog from the right
+        place.
+
+        What carries over, and why it stays exact:
+
+        * **Files verbatim** — every file the manifest references (row
+          data, MoR deltas, tomb/dv sidecars) is copied byte-identical
+          at its original relative path, so stats/blooms in the copied
+          file entries still describe the copied bytes (``audit_table``
+          on the clone passes), MoR snapshots restore unresolved (the
+          clone's readers resolve exactly like the source's), and
+          delete memos keep outranking late events downstream.
+        * **Resume points verbatim** — the snapshot's ``offsets`` and
+          the full per-source channel dict ride through ``commit(...,
+          restore_source_offsets=)``, so ``ingest_changelog`` (any
+          channel) resumes on the clone exactly where the source
+          snapshot stopped: the export IS a checkpoint restore.
+        * **Schema registry + bucket layout** — the whole field-id
+          history and the layout-generation state (including an
+          in-flight rebucket migration) carry over, so old-schema files
+          project and a drained migration can continue on the clone.
+
+        What does NOT carry over, stated honestly: history (the clone
+        has one real snapshot — time travel below it answers with the
+        clone's create state), tags/branches (pin source snapshots that
+        don't exist here), and the batch-id index (like a branch's
+        pre-fork window, replaying a pre-export batch id through a
+        direct ``apply_batch`` call would re-apply it — semantically a
+        no-op under LWW with delete memos present, and unreachable from
+        the ingest driver, whose resume point the carried offsets
+        guard).
+
+        The single commit is fenced like any other (``export-v{sid}``),
+        so a crash mid-copy leaves no published clone — remove the dest
+        and re-run.  Data files are local-FS by design here (the same
+        seam note as compact/vacuum); an object-store data plane would
+        swap the copy loop, not the manifest logic.
+        """
+        import shutil
+
+        m = self.manifest(snapshot_id)
+        sid = m["snapshot_id"]
+        if sid < self.vacuum_horizon():
+            raise ValueError(
+                f"snapshot v{sid} is below the vacuum horizon "
+                f"{self.vacuum_horizon()}; its data files were expired"
+            )
+        dest = LakeTable.create(dest_root, n_buckets=int(m["n_buckets"]))
+        for f in m["files"]:
+            src = os.path.join(self.root, f["path"])
+            dst = os.path.join(dest_root, f["path"])
+            self.io.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+        layout_update = {
+            "layouts": m.get("layouts") or {"1": m["n_buckets"]},
+            "write_gen": m.get("write_gen", 1),
+            "migration": m.get("migration"),
+        }
+        dest.commit(
+            batch_id=f"export-v{sid}",
+            expected_parent=0,
+            replaced_buckets=set(),
+            new_files=[dict(f) for f in m["files"]],
+            offsets=dict(m["offsets"]),
+            lineage={},
+            metrics={
+                "exported_from": self.root,
+                "source_snapshot": sid,
+                "files_copied": len(m["files"]),
+            },
+            schema_version=m["schema_version"],
+            schemas=m["schemas"],
+            layout_update=layout_update,
+            restore_source_offsets=m.get("source_offsets"),
+        )
+        return dest
+
     def new_data_dir(self) -> tuple[str, str]:
         """Unique directory for one commit attempt's data files.
         Returns (absolute, relative-to-root)."""
@@ -1507,8 +1590,8 @@ class LakeTable:
 
         * ``snapshots`` — count by kind, classified from the batch-id
           conventions (ingest ``b/s{lo}-{hi}``, ``compact-``,
-          ``rebucket-``, ``rq…`` requeue, ``backfill-``, ``:evo``
-          schema evolution, ``__…__`` admin).
+          ``rebucket-``, ``rq…`` requeue, ``backfill-``, ``export-``,
+          ``:evo`` schema evolution, ``__…__`` admin).
         * ``totals`` — events read/winners/dupes dropped/deletes/
           position kills/control events summed over ingest commits, and
           rows applied/deleted summed from per-bucket lineage.
@@ -1533,6 +1616,8 @@ class LakeTable:
                 return "requeue"
             if bid.startswith("backfill-"):
                 return "backfill"
+            if bid.startswith("export-"):
+                return "export"
             if bid.endswith(":evo"):
                 return "evolve"
             return "ingest"

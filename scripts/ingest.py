@@ -131,6 +131,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(bucket, repo, path) so repo-stats pruning narrows")
     p.add_argument("--target-file-rows", type=int, default=None,
                    help="with --compact-after: cap rows per output file")
+    p.add_argument("--export-to", default=None,
+                   help="after all other actions, export the table's "
+                        "final snapshot into a fresh self-contained table "
+                        "root at this path (files + schema registry + "
+                        "resume offsets verbatim) — a checkpoint restore: "
+                        "ingest on the clone resumes from the same log "
+                        "where this run stopped")
     p.add_argument("--create-tag", default=None,
                    help="tag the final snapshot with this name (immutable "
                         "ref; vacuum retains its files)")
@@ -266,6 +273,12 @@ def main(argv: list[str] | None = None) -> int:
                 "--create-tag with --branch is ambiguous (tags pin MAIN "
                 "snapshots; the staged work isn't on main yet) — publish "
                 "the branch first, then tag"
+            )
+        if args.export_to is not None:
+            raise SystemExit(
+                "--export-to with --branch would clone UNPUBLISHED staged "
+                "content into a freestanding table (bypassing the audit "
+                "gate) — publish the branch first, then export"
             )
         if args.branch in table.list_branches():
             table = table.branch(args.branch)
@@ -552,6 +565,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         summary_requeue = None
 
+    exported = None
+    if args.export_to is not None:
+        # last action: the clone carries everything this run did
+        # (ingest, compaction, requeue) plus the resume offsets
+        clone = table.export_to(args.export_to)
+        exported = {"dest": args.export_to,
+                    "source_snapshot": table.current_snapshot_id(),
+                    "clone_snapshot": clone.current_snapshot_id()}
+
     applied = [r for r in results if not r.get("skipped")]
     summary = {
         "mode": args.mode,
@@ -576,6 +598,8 @@ def main(argv: list[str] | None = None) -> int:
         summary.update(summary_requeue)
     if vacuumed is not None:
         summary["vacuum"] = vacuumed
+    if exported is not None:
+        summary["exported"] = exported
     if sig_index is not None:
         summary["signature_index_snapshot"] = sig_index.current_snapshot_id()
     if args.incremental_from is not None:
