@@ -151,6 +151,64 @@ def test_cli_export_roundtrip(spark, src, tmp_path):
     assert s2["batches_applied"] == 0
 
 
+def test_dr_story_table_plus_derived_sink(spark, src, tmp_path):
+    """The full disaster-restore composition: export a MID-LOG table,
+    rebuild its derived sink on the clone from table state
+    (backfill_lww_sink — exact for LWW sinks by construction), resume
+    ingest with the ordinary hook — table and sink both converge exactly
+    as if never interrupted."""
+    from pyspark.sql import functions as F
+
+    from glad_tiles_pipeline_spark.operators.incremental import (
+        cdc_docs,
+        create_signature_index,
+        index_signatures_cdc,
+    )
+    from glad_tiles_pipeline_spark.operators.docs import (
+        minhash_signatures,
+        simhash32,
+    )
+    from glad_tiles_pipeline_spark.streaming.dedup_index import (
+        backfill_lww_sink,
+        catch_up_derived_index,
+        signature_index_hook,
+    )
+
+    n_hashes = 16
+    _, log_dir = src
+    half = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, half, log_dir, batch_size=1000, max_batches=3,
+                     merge_mode="mor")
+    clone = half.export_to(str(tmp_path / "dr"))
+
+    # restore the derived sink FROM CLONE STATE — no source sink needed
+    index = create_signature_index(str(tmp_path / "sig"),
+                                   n_hashes=n_hashes, n_buckets=8)
+    hook = signature_index_hook(spark, index, n_hashes=n_hashes)
+    assert not backfill_lww_sink(spark, clone, hook).get("skipped")
+    assert index.last_committed_offset() == clone.last_committed_offset()
+
+    # resume: remaining windows flow through the ordinary hook; the
+    # generic catch-up confirms the sink is already current afterwards
+    ingest_changelog(spark, clone, log_dir, batch_size=1000,
+                     merge_mode="mor", post_apply=hook)
+    assert catch_up_derived_index(spark, clone, index, log_dir,
+                                  hook=hook) is None
+
+    events = spark.read.parquet(log_dir)
+    assert _same_state(clone.scan(spark), oracle_state_df(spark, events))
+    docs = cdc_docs(clone.scan(spark))
+    want = minhash_signatures(
+        docs, n_hashes=n_hashes, id_col="doc_id", text_col="text"
+    ).join(
+        docs.select("doc_id", simhash32(F.col("text"),
+                                        token_hash="sha256").alias("simhash")),
+        "doc_id",
+    )
+    got = index_signatures_cdc(spark, index, n_hashes=n_hashes)
+    assert _same_state(got, want)
+
+
 def test_named_offset_channels_survive_export(spark, src, tmp_path):
     _, log_dir = src
     t3 = LakeTable.create(str(tmp_path / "ch"), n_buckets=8)
