@@ -69,6 +69,25 @@ def with_stream_hygiene(
     return out
 
 
+def _guard_pruned_log(table, changelog_dir, channel) -> None:
+    """Pruned-log guard (mirror of ``read_changelog_batch``'s): a FRESH
+    stream checkpoint re-feeds whatever files still exist, so a table
+    whose resume point sits below the prune horizon would silently miss
+    the truncated range.  A table at/above the horizon is safe — replayed
+    files no-op via fencing + LWW."""
+    if changelog_dir is None:
+        return
+    from glad_tiles_pipeline_spark.sources.changelog import prune_horizon
+
+    h = prune_horizon(changelog_dir)
+    resume = table.last_committed_offset(channel or "default")
+    if h > resume:
+        raise ValueError(
+            f"table resume point {resume} is below the changelog prune "
+            f"horizon {h}; the truncated range cannot be re-fed"
+        )
+
+
 def stream_ingest(
     spark: SparkSession,
     table: LakeTable,
@@ -116,6 +135,7 @@ def stream_ingest(
     concurrent writer) is an optimization failure, not an ingest failure
     — skipped, retried at the next interval.
     """
+    _guard_pruned_log(table, changelog_dir, channel)
     results: list[dict] = []
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,
@@ -190,6 +210,7 @@ def stream_ingest_continuous(
     batch's content-addressed id makes the MERGE a no-op if it did —
     identical fencing to the AvailableNow path, which is the point: one
     code path, two triggers."""
+    _guard_pruned_log(table, changelog_dir, channel)
     results: list[dict] = []
     _apply = _make_foreach_batch(
         spark, table, results, quarantine_dir, late_threshold, apply_kwargs,

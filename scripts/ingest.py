@@ -138,6 +138,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "resume offsets verbatim) — a checkpoint restore: "
                         "ingest on the clone resumes from the same log "
                         "where this run stopped")
+    p.add_argument("--prune-changelog", action="store_true",
+                   help="after all other actions, truncate the at-rest "
+                        "changelog: delete files wholly below the minimum "
+                        "resume point of THIS run's consumers (the table's "
+                        "offset channel plus every derived sink), proven "
+                        "per file from parquet footers; a horizon marker "
+                        "makes any later read below it fail loudly.  Only "
+                        "safe when this run's consumers are the log's ONLY "
+                        "readers; forfeits rollback-replay below the "
+                        "horizon")
     p.add_argument("--create-tag", default=None,
                    help="tag the final snapshot with this name (immutable "
                         "ref; vacuum retains its files)")
@@ -565,6 +575,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         summary_requeue = None
 
+    pruned = None
+    if args.prune_changelog:
+        from glad_tiles_pipeline_spark.sources.changelog import (
+            prune_changelog,
+        )
+
+        consumers = [(table, args.source or "default")]
+        consumers += [idx for _, idx in derived_tables]
+        pruned = prune_changelog(args.changelog, consumers=consumers)
+
     exported = None
     if args.export_to is not None:
         # last action: the clone carries everything this run did
@@ -600,6 +620,8 @@ def main(argv: list[str] | None = None) -> int:
         summary["vacuum"] = vacuumed
     if exported is not None:
         summary["exported"] = exported
+    if pruned is not None:
+        summary["changelog_pruned"] = pruned
     if sig_index is not None:
         summary["signature_index_snapshot"] = sig_index.current_snapshot_id()
     if args.incremental_from is not None:
