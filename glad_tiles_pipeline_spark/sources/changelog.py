@@ -181,18 +181,23 @@ def prune_changelog(
             candidates.append((full, int(fmax)))
 
     # never drop the newest file: the log keeps its end-of-stream marker
-    doomed = [f for f, _ in candidates if f != tail_file]
+    doomed = [(f, mx) for f, mx in candidates if f != tail_file]
 
     if doomed:
-        # publish the horizon BEFORE deleting (crash between the two is
-        # conservative); monotone max so a laxer later call can't lower it
+        # the marker records what is ACTUALLY missing — the max offset of
+        # the files being deleted, not the requested horizon: a horizon
+        # beyond the log's tail would otherwise refuse reads of ranges
+        # that are fully present.  Published BEFORE deleting (a crash
+        # between the two is conservative) and monotone (a laxer later
+        # call can't lower it).
+        pruned_hi = max(mx for _, mx in doomed)
         prev = prune_horizon(path)
         marker = os.path.join(path, PRUNE_MARKER)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(json.dumps({"below_offset": max(horizon, prev)}))
+            fh.write(json.dumps({"below_offset": max(pruned_hi, prev)}))
         os.replace(tmp, marker)
-        for f in doomed:
+        for f, _ in doomed:
             os.remove(f)
 
     return {

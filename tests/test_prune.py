@@ -49,7 +49,10 @@ def test_prune_after_full_ingest(spark, log, tmp_path):
     res = prune_changelog(log, consumers=[(table, "default")])
     assert res["horizon"] == N - 1
     assert res["pruned_files"] == 7          # newest file always retained
-    assert res["marker"] == N - 1
+    # the marker records what is ACTUALLY missing (max offset of the
+    # deleted files), not the requested horizon — the retained tail file
+    # keeps its range fully readable
+    assert res["marker"] == N - 501
     assert len(_parquet_files(log)) == 1
     # the log keeps its end-of-stream marker and the planner stays a
     # pure replay (resume point is above everything pruned)
