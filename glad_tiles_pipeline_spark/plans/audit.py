@@ -302,6 +302,12 @@ def audit_changelog(spark, changelog_dir: str, sample: int = 5) -> dict:
     """
     from pyspark.sql import functions as F
 
+    from glad_tiles_pipeline_spark.sources.changelog import prune_horizon
+
+    # a pruned log (S36) legitimately lost offsets at or below the
+    # marker — the gap check must not report retention as loss
+    pruned_below = prune_horizon(changelog_dir)
+
     log = spark.read.parquet(changelog_dir)
     is_ctrl = F.col("control").isNotNull()
     ctrl_op = F.get_json_object("control", "$.op")
@@ -316,6 +322,9 @@ def audit_changelog(spark, changelog_dir: str, sample: int = 5) -> dict:
     r = log.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("offset").alias("distinct_offsets"),
+        F.countDistinct(
+            F.when(F.col("offset") > pruned_below, F.col("offset"))
+        ).alias("distinct_above_prune"),
         F.min("offset").alias("lo"),
         F.max("offset").alias("hi"),
         n(F.col("offset").isNull()).alias("null_offset"),
@@ -380,21 +389,28 @@ def audit_changelog(spark, changelog_dir: str, sample: int = 5) -> dict:
              f"{r['del_content']} delete(s) carrying non-NULL content "
              "(ignored by the merge path; producer likely meant U)")
     if r["rows"] and r["lo"] is not None:
-        gaps = (int(r["hi"]) - int(r["lo"]) + 1) - int(r["distinct_offsets"])
+        # gap check only ABOVE the prune horizon: retention (S36) removed
+        # offsets at or below it on purpose — reporting those as gaps
+        # would cry loss over the normal lifecycle
+        glo = max(int(r["lo"]), pruned_below + 1)
+        gaps = (int(r["hi"]) - glo + 1) - int(r["distinct_above_prune"])
         if gaps > 0:
             warn("offset_gaps",
-                 f"{gaps} missing position(s) in [{r['lo']}, {r['hi']}] "
+                 f"{gaps} missing position(s) in [{glo}, {r['hi']}] "
                  "(legal per contract, but a sudden gap often means lost "
                  "events)")
 
+    checked = {
+        "rows": int(r["rows"]),
+        "control_rows": int(r["control_rows"]),
+        "offset_range": (
+            [int(r["lo"]), int(r["hi"])] if r["lo"] is not None else None
+        ),
+    }
+    if pruned_below > -1:
+        checked["pruned_below"] = pruned_below
     return {
         "ok": not any(f["level"] == "error" for f in findings),
         "findings": findings,
-        "checked": {
-            "rows": int(r["rows"]),
-            "control_rows": int(r["control_rows"]),
-            "offset_range": (
-                [int(r["lo"]), int(r["hi"])] if r["lo"] is not None else None
-            ),
-        },
+        "checked": checked,
     }

@@ -131,6 +131,21 @@ def test_marker_is_monotone_and_explicit_horizon(spark, log, tmp_path):
     assert res["horizon"] == N - 1
 
 
+def test_audit_changelog_is_prune_aware(spark, log, tmp_path):
+    """Retention is lifecycle, not loss: the input audit must not report
+    the pruned range as gaps, and must surface the horizon it honored."""
+    from glad_tiles_pipeline_spark.plans.audit import audit_changelog
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    ingest_changelog(spark, table, log, batch_size=1000)
+    res = prune_changelog(log, consumers=[table])
+    audit = audit_changelog(spark, log)
+    assert audit["ok"]
+    assert not [f for f in audit["findings"] if f["code"] == "offset_gaps"]
+    assert audit["checked"]["pruned_below"] == res["marker"]
+    assert audit["checked"]["rows"] == 500  # the retained tail file
+
+
 def test_cli_prune_composes(spark, log, tmp_path):
     import io
     import json
