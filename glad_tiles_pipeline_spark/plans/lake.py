@@ -1338,7 +1338,10 @@ class LakeTable:
         for f in m["files"]:
             src = os.path.join(self.root, f["path"])
             dst = os.path.join(dest_root, f["path"])
-            self.io.makedirs(os.path.dirname(dst), exist_ok=True)
+            # data plane is local-FS by design (same seam note as
+            # compact/vacuum) — not routed through the ManifestIO, whose
+            # in-memory backend only covers metadata
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)
         layout_update = {
             "layouts": m.get("layouts") or {"1": m["n_buckets"]},
