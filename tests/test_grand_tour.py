@@ -214,6 +214,22 @@ def test_long_haul_maintenance_cycles(spark, tmp_path):
 
     res = audit_table(table)
     assert res["ok"], res["findings"]
+
+    # closing acts of the lifecycle (round-5 eighth wave): retention on
+    # the fully-consumed log, then a portable restore — the pruned log
+    # still replays clean, and the clone equals the final state and
+    # passes the same independent audit
+    from glad_tiles_pipeline_spark.sources.changelog import prune_changelog
+
+    pr = prune_changelog(log, consumers=[table])
+    assert pr["pruned_files"] > 0
+    replay = ingest_changelog(spark, table, log, batch_size=B)
+    assert all(r.get("skipped") for r in replay)
+    clone = table.export_to(str(tmp_path / "dr"))
+    _eq(clone.scan(spark), oracle_full)
+    res = audit_table(clone)
+    assert res["ok"], res["findings"]
+
     k = table.scan(spark).select("repo", "path").first()
     got = table.lookup(spark, k["repo"], k["path"])
     assert got.count() == 1 and len(got.inputFiles()) <= 2
